@@ -1,38 +1,43 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry()      — flagship: documents-with-geo -> tile pyramid z0-8 via the
+               engine's DataFrame operators (salted per-tile top-k, checksum
+               lineage columns).
+queries()    — one entry per implemented operator from SURVEY.md §2
+               (see cloudtile_spark/queries.py REGISTRY).
+oracle_sql() — DuckDB-runnable oracle for each query (same math, same
+               aliases; value-hash-exact by construction).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cloudtile_spark import queries as _q  # noqa: E402
+from cloudtile_spark.operators.pyramid import build_pyramid  # noqa: E402
+
+import pyspark.sql.functions as F  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: deterministic geo extraction over the documents table ->
+    z0-8 tile pyramid with per-tile feature caps and checksums."""
+    sf_dir = "/root/testdata/sf0.001"
+    feats = _q.docs_geo(spark, sf_dir).withColumnRenamed("doc_id", "feature_id")
+    return build_pyramid(feats, minz=0, maxz=8).select(
+        "z", "x", "y", "feature_count", "checksum"
+    ).orderBy("z", "x", "y")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _q.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return _q.oracle_sql()

@@ -1,0 +1,135 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "throughput": {...}}
+
+Headline mix (BASELINE.json metric = tiles/sec pyramid + join rows/sec):
+  * pyramid_2m_z0_12 — 2,000,000 synthetic pages -> extract -> z0-12 pyramid
+    (the tippecanoe-replacement path, FIXTURES.md bench size)
+  * pip_2m           — 2M points x 200 bbox zones broadcast join
+  * knn_512q         — 512 queries x 1M candidates brute-force haversine top-5
+  * plus the oracle-gated registry queries at the given sf_dir
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+from pyspark.sql import Window  # noqa: E402
+
+from cloudtile_spark import geom  # noqa: E402
+from cloudtile_spark.operators.extract import extract_features  # noqa: E402
+from cloudtile_spark.operators.pyramid import build_pyramid  # noqa: E402
+from cloudtile_spark.queries import REGISTRY  # noqa: E402
+from cloudtile_spark.session import get_spark  # noqa: E402
+from cloudtile_spark.sources.pages import synth_pages  # noqa: E402
+
+PAGES_N = int(os.environ.get("BENCH_PAGES", "2000000"))
+KNN_N = int(os.environ.get("BENCH_KNN_N", "1000000"))
+REGISTRY_QUERIES = [
+    "geo_pyramid_z0_8", "pip_bbox_join", "knn_k5", "dedup_exact",
+    "ann_cosine_topk", "tpch_q1", "tpch_q3", "events_sessionize",
+    "text_quality", "lang_id",
+]
+
+
+def timed(fn):
+    t0 = time.time()
+    n = fn()
+    return time.time() - t0, n
+
+
+def bench_pyramid(spark, cores):
+    pages = synth_pages(spark, PAGES_N, partitions=cores * 2)
+    feats = extract_features(pages.drop("page_id"))
+    tiles_df = build_pyramid(feats, minz=0, maxz=12, with_ids=False)
+    return tiles_df.count()
+
+
+def bench_pip(spark, cores):
+    pts = synth_pages(spark, PAGES_N, partitions=cores * 2)
+    feats = extract_features(pts.drop("page_id"))
+    zones = spark.range(200).select(
+        F.col("id").alias("zone_id"),
+        (F.rand(seed=7) * 320 - 170).alias("cx"),
+        (F.rand(seed=9) * 100 - 50).alias("cy"),
+    ).select(
+        "zone_id",
+        (F.col("cx") - 12).alias("xmin"), (F.col("cx") + 12).alias("xmax"),
+        (F.col("cy") - 8).alias("ymin"), (F.col("cy") + 8).alias("ymax"),
+    )
+    joined = feats.join(
+        F.broadcast(zones),
+        (F.col("lon") >= F.col("xmin")) & (F.col("lon") < F.col("xmax"))
+        & (F.col("lat") >= F.col("ymin")) & (F.col("lat") < F.col("ymax")),
+    )
+    return joined.count()
+
+
+def bench_knn(spark, cores):
+    pts = synth_pages(spark, KNN_N, partitions=cores * 2)
+    feats = extract_features(pts.drop("page_id")).select("feature_id", "lon", "lat")
+    q = feats.filter(F.col("feature_id") % (KNN_N // 512) == 0).select(
+        F.col("feature_id").alias("query_id"),
+        F.col("lon").alias("qlon"), F.col("lat").alias("qlat"),
+    )
+    d = feats.crossJoin(F.broadcast(q)).filter(
+        F.col("feature_id") != F.col("query_id")
+    ).withColumn("dist", F.expr(geom.haversine_sql("qlon", "qlat", "lon", "lat")))
+    w = Window.partitionBy("query_id").orderBy("dist", "feature_id")
+    return (
+        d.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5).count()
+    )
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("bench", cores=cores, shuffle_partitions=cores)
+
+    times: dict[str, float] = {}
+    throughput: dict[str, float] = {}
+
+    t, n_tiles = timed(lambda: bench_pyramid(spark, cores))
+    times["pyramid_2m_z0_12"] = round(t, 3)
+    throughput["pyramid_tiles_per_sec"] = round(n_tiles / t, 1)
+    throughput["pyramid_features_per_sec"] = round(PAGES_N * 13 / t, 1)
+
+    t, n_rows = timed(lambda: bench_pip(spark, cores))
+    times["pip_2m"] = round(t, 3)
+    throughput["pip_join_rows_per_sec"] = round(n_rows / t, 1)
+
+    t, n_rows = timed(lambda: bench_knn(spark, cores))
+    times["knn_512q"] = round(t, 3)
+    throughput["knn_candidates_per_sec"] = round(KNN_N * 512 / t, 1)
+
+    for name in REGISTRY_QUERIES:
+        q = REGISTRY[name]
+        t, _ = timed(lambda: q.spark_fn(spark, sf_dir).count())
+        times[name] = round(t, 3)
+
+    spark.stop()
+    print(json.dumps({
+        "metric": "headline suite wall-clock (pyramid z0-12 tiles/sec + "
+                  "spatial-join rows/sec + registry queries)",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "throughput": throughput,
+        "cores": cores,
+        "pages_n": PAGES_N,
+    }))
+
+
+if __name__ == "__main__":
+    main()

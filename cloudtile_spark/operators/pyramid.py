@@ -1,0 +1,158 @@
+"""Tile-pyramid build — the Spark-native replacement for the reference's
+``tippecanoe ... -o out.pmtiles in.fgb`` subprocess (reference
+src/cloudtile/geofile.py:193-236; settings contract
+src/cloudtile/tippecanoe.yaml, defaults asserted by reference
+tests/test_tippecanoe.py:75-98).
+
+Plan shape (all relational until the optional MVT encode):
+
+    features(feature_id, lon, lat, ...)
+      -> explode z in [minz, maxz]            (F.sequence + explode; narrow)
+      -> x, y = web-mercator tile math        (pure column exprs, codegen)
+      -> per-tile feature cap (top-k)         (SALTED two-phase window —
+                                               dense metro tiles are the skew
+                                               the north rule calls out)
+      -> groupBy(z, x, y) summary             (count, sorted ids, checksum)
+
+Scale notes (100 TB / 1000 executors):
+- The explode is a narrow map — no shuffle until the top-k.
+- Top-k is two-phase: phase 1 partitions by (z,x,y,salt) so a world-scale
+  hot tile (z0 holds EVERY feature) is spread over ``salt_buckets``
+  reducers, each keeping at most ``cap`` rows; phase 2 re-ranks the
+  <= salt_buckets*cap survivors exactly. Deterministic: priority is
+  (feature_id), unique, so results are identical at any parallelism.
+- feature_ids lists are bounded by the cap (20k default) — no unbounded
+  collect_list.
+- AQE skew-join/partition-coalesce stays on (session.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .. import tiles
+from ..settings import TilingSettings
+
+DEFAULT_SALT_BUCKETS = 32
+
+
+def assign_xy(df: DataFrame, z_expr: str = "z",
+              lon: str = "lon", lat: str = "lat") -> DataFrame:
+    """Add x, y tile-coordinate columns for (lon, lat) at zoom column/literal
+    ``z_expr`` — pure JVM-side arithmetic (tiles.py builders)."""
+    return df.withColumn("x", F.expr(tiles.tile_x_sql(lon, z_expr))) \
+             .withColumn("y", F.expr(tiles.tile_y_sql(lat, z_expr)))
+
+
+def explode_zooms(df: DataFrame, minz: int, maxz: int) -> DataFrame:
+    """One output row per (feature, zoom) — the pyramid fan-out.
+
+    For point features each zoom contributes exactly one tile, so fan-out is
+    (maxz - minz + 1)x, a narrow map with no shuffle. (Polygon/line tile-cover
+    with >1 tile per feature lives in the MVT encode path, operators/mvt.py.)
+    """
+    return df.withColumn(
+        "z", F.explode(F.sequence(F.lit(minz), F.lit(maxz)))
+    )
+
+
+def topk_per_tile(
+    df: DataFrame,
+    cap: int,
+    order_col: str = "feature_id",
+    salt_buckets: int = DEFAULT_SALT_BUCKETS,
+) -> DataFrame:
+    """Keep the first ``cap`` features per (z, x, y), ordered by ``order_col``
+    (tippecanoe maximum-tile-features, reference tippecanoe.yaml:107).
+
+    Two-phase salted top-k (see module docstring). Exact and deterministic
+    because ``order_col`` is unique per tile.
+    """
+    salt = (F.col(order_col) % salt_buckets).cast("int")
+    w1 = Window.partitionBy("z", "x", "y", "_salt").orderBy(order_col)
+    w2 = Window.partitionBy("z", "x", "y").orderBy(order_col)
+    return (
+        df.withColumn("_salt", salt)
+        .withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+        .withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn", "_salt")
+    )
+
+
+def tile_summary(df: DataFrame, with_ids: bool = True) -> DataFrame:
+    """groupBy(z,x,y) -> feature_count [+ sorted feature_ids + checksum].
+
+    The checksum column is the per-tile lineage fingerprint (sha256 over the
+    comma-joined sorted id list) — the analogue of the reference's md5
+    content-identity (reference src/cloudtile/s3.py:211-227), at tile
+    granularity so checkpoint-resume can skip completed tiles.
+    """
+    aggs = [F.count("*").alias("feature_count")]
+    if with_ids:
+        aggs.append(
+            F.sort_array(F.collect_list("feature_id")).alias("feature_ids")
+        )
+    out = df.groupBy("z", "x", "y").agg(*aggs)
+    if with_ids:
+        out = out.withColumn(
+            "checksum",
+            F.sha2(F.concat_ws(",", F.col("feature_ids")), 256),
+        )
+    return out
+
+
+def build_pyramid(
+    features: DataFrame,
+    settings: Optional[TilingSettings] = None,
+    minz: Optional[int] = None,
+    maxz: Optional[int | str] = None,
+    with_ids: bool = True,
+) -> DataFrame:
+    """features -> tiles(z, x, y, feature_count[, feature_ids, checksum]).
+
+    Zoom plumbing mirrors the reference (src/cloudtile/geofile.py:194-216):
+    explicit args win; missing zooms at tiling time raise TypeError; maxz="g"
+    triggers the guess pass (tippecanoe's ``maximum-zoom: g``,
+    cli/parsers.py:146-150).
+    """
+    settings = settings if settings is not None else TilingSettings()
+    if minz is not None:
+        settings["minimum-zoom"] = minz
+    if maxz is not None:
+        settings["maximum-zoom"] = maxz
+    if "minimum-zoom" not in settings or "maximum-zoom" not in settings:
+        raise TypeError(
+            "minimum-zoom and maximum-zoom are required to build a pyramid"
+        )
+    lo = settings["minimum-zoom"]
+    hi = settings["maximum-zoom"]
+    if hi == "g":
+        hi = guess_max_zoom(features, settings["maximum-tile-features"])
+    cap = settings["maximum-tile-features"]
+    df = assign_xy(explode_zooms(features, lo, hi))
+    df = topk_per_tile(df, cap)
+    return tile_summary(df, with_ids=with_ids)
+
+
+def guess_max_zoom(
+    features: DataFrame, cap: int, z_lo: int = 0, z_hi: int = 14
+) -> int:
+    """tippecanoe's ``maximum-zoom: g``: the lowest zoom at which the densest
+    tile holds <= cap features (one cheap aggregate job over all candidate
+    zooms at once, not a driver loop)."""
+    per_z_max = (
+        assign_xy(explode_zooms(features.select("lon", "lat"), z_lo, z_hi))
+        .groupBy("z", "x", "y").count()
+        .groupBy("z").agg(F.max("count").alias("max_per_tile"))
+        .filter(F.col("max_per_tile") <= cap)
+        .agg(F.min("z").alias("zg"))
+        .collect()
+    )
+    zg = per_z_max[0]["zg"]
+    return int(zg) if zg is not None else z_hi

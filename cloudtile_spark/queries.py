@@ -1,0 +1,579 @@
+"""Query registry — every operator from SURVEY.md §2 exposed as a named
+query over the driver's test tables, each paired with a DuckDB-runnable
+ANSI-SQL oracle (the correctness gate described in the driver contract).
+
+Two authoring styles:
+
+* **shared-SQL** — arithmetic-heavy geo queries are generated from the very
+  same expression builders (tiles.py / cells.py / geom.py ``*_sql``) on both
+  sides, so Spark and DuckDB run literally identical math. Spark still plans
+  these through Catalyst (spark.sql == DataFrame API plan-wise).
+* **DataFrame-API + hand oracle** — relational/join/window queries use the
+  engine's DataFrame operators (broadcast hints, salted top-k, ...) with an
+  independently written SQL oracle.
+
+Geometry over the test tables: `documents` rows are assigned deterministic
+lon/lat via the same integer-arithmetic generator the synthetic pages use
+(sources/pages.py lon_sql/lat_sql) — pure SQL, identical in both engines, so
+tile assignment / joins / kNN are oracle-checkable end to end.
+
+Column-name parity rule: every computed column is aliased identically in the
+Spark plan and the oracle (driver hashes after sorting columns by name).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import cells, geom, tiles
+from .sources.pages import lat_sql, lon_sql
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def load_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register the driver's parquet tables as temp views (same names DuckDB
+    pre-registers)."""
+    for t in TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+def docs_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + deterministic lon/lat (the features table analogue)."""
+    load_views(spark, sf_dir)
+    return spark.sql(f"SELECT doc_id, {lon_sql('doc_id')} AS lon, "
+                     f"{lat_sql('doc_id')} AS lat FROM documents")
+
+
+# the shared CTE both dialects prepend for geo queries
+_GEO_CTE = (
+    f"geo AS (SELECT doc_id, {lon_sql('doc_id')} AS lon, "
+    f"{lat_sql('doc_id')} AS lat FROM documents)"
+)
+
+
+@dataclass
+class Query:
+    name: str
+    spark_fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]  # DuckDB SQL or None (rows-only check)
+    doc: str = ""
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def _register(name: str, oracle: Optional[str], doc: str = ""):
+    def deco(fn):
+        REGISTRY[name] = Query(name, fn, oracle, doc)
+        return fn
+    return deco
+
+
+def _shared_sql(name: str, sql: str, doc: str = "",
+                oracle_sql_text: Optional[str] = None) -> None:
+    """Register a query whose Spark plan and oracle are the same SQL text."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        load_views(spark, sf_dir)
+        return spark.sql(sql)
+
+    REGISTRY[name] = Query(name, fn, oracle_sql_text or sql, doc)
+
+
+# ===========================================================================
+# Tile assignment / pyramid (SURVEY §2.B3, B4, B8; reference tippecanoe
+# zoom & cap semantics, tippecanoe.yaml:25-29,106-107)
+# ===========================================================================
+
+_shared_sql(
+    "geo_tile_z8",
+    f"""
+    WITH {_GEO_CTE},
+    t AS (SELECT doc_id,
+                 {tiles.tile_x_sql('lon', '8')} AS x,
+                 {tiles.tile_y_sql('lat', '8')} AS y
+          FROM geo)
+    SELECT x, y, count(*) AS feature_count,
+           min(doc_id) AS min_fid, max(doc_id) AS max_fid
+    FROM t GROUP BY x, y
+    """,
+    doc="single-zoom tile assignment (B3): pure JVM-side web-mercator math",
+)
+
+_ZS = ", ".join(f"({z})" for z in range(0, 9))
+_shared_sql(
+    "geo_pyramid_z0_8",
+    f"""
+    WITH {_GEO_CTE},
+    zs AS (SELECT z FROM (VALUES {_ZS}) AS v(z)),
+    t AS (SELECT g.doc_id, zs.z,
+                 {tiles.tile_x_sql('g.lon', 'zs.z')} AS x,
+                 {tiles.tile_y_sql('g.lat', 'zs.z')} AS y
+          FROM geo g CROSS JOIN zs)
+    SELECT z, x, y, count(*) AS feature_count, max(doc_id) AS max_fid
+    FROM t GROUP BY z, x, y
+    """,
+    doc="pyramid explode z0-8 (B4): zoom fan-out then per-tile counts",
+)
+
+_shared_sql(
+    "geo_tile_topk_z6",
+    f"""
+    WITH {_GEO_CTE},
+    t AS (SELECT doc_id,
+                 {tiles.tile_x_sql('lon', '6')} AS x,
+                 {tiles.tile_y_sql('lat', '6')} AS y
+          FROM geo),
+    r AS (SELECT doc_id, x, y,
+                 row_number() OVER (PARTITION BY x, y ORDER BY doc_id) AS rn
+          FROM t)
+    SELECT x, y, count(*) AS n_kept, max(doc_id) AS max_kept
+    FROM r WHERE rn <= 100 GROUP BY x, y
+    """,
+    doc="per-tile feature cap = window top-k (B8; maximum-tile-features)",
+)
+
+_shared_sql(
+    "geo_quadkey_z10",
+    f"""
+    WITH {_GEO_CTE},
+    t AS (SELECT {tiles.tile_x_sql('lon', '10')} AS x,
+                 {tiles.tile_y_sql('lat', '10')} AS y
+          FROM geo)
+    SELECT {tiles.quadkey_sql('x', 'y', 10)} AS quadkey, count(*) AS n
+    FROM t GROUP BY 1
+    """,
+    doc="quadkey encoding (B3): unrolled bit math, no UDF",
+)
+
+_shared_sql(
+    "geo_cell_rollup",
+    f"""
+    WITH {_GEO_CTE},
+    c AS (SELECT doc_id, {cells.cell_sql('lon', 'lat', 9)} AS cell FROM geo)
+    SELECT {cells.parent_sql('cell', 3)} AS parent_cell,
+           count(*) AS n, min(doc_id) AS min_fid
+    FROM c GROUP BY 1
+    """,
+    doc="hierarchical cell index rollup (H3/S2-style parent aggregation)",
+)
+
+_shared_sql(
+    "geo_morton_order",
+    f"""
+    WITH {_GEO_CTE},
+    t AS (SELECT doc_id,
+                 {tiles.tile_x_sql('lon', '12')} AS x,
+                 {tiles.tile_y_sql('lat', '12')} AS y
+          FROM geo)
+    SELECT doc_id, {tiles.morton_sql('x', 'y')} AS morton_key
+    FROM t WHERE doc_id % 10 = 0
+    """,
+    doc="Morton/Z-order locality key (B13 ordering) as pure bit math",
+)
+
+_shared_sql(
+    "geo_wraparound_norm",
+    f"""
+    WITH {_GEO_CTE}
+    SELECT doc_id,
+           {tiles.norm_lon_sql('lon + 360.0 * cast(doc_id % 3 - 1 as double)')}
+             AS lon_norm
+    FROM geo WHERE doc_id % 7 = 0
+    """,
+    doc="longitude wraparound hygiene (B16, detect-longitude-wraparound)",
+)
+
+_shared_sql(
+    "geo_density_cells",
+    f"""
+    WITH {_GEO_CTE},
+    c AS (SELECT doc_id, {cells.cell_sql('lon', 'lat', 7)} AS cell FROM geo),
+    d AS (SELECT cell, count(*) AS cnt FROM c GROUP BY cell)
+    SELECT c.doc_id, d.cnt AS cell_density
+    FROM c JOIN d USING (cell) WHERE c.doc_id % 5 = 0
+    """,
+    doc="calculate-feature-density analogue (B7): per-cell density join-back",
+)
+
+
+# ===========================================================================
+# Spatial joins (SURVEY §2.C joins; north_rule PIP + kNN)
+# ===========================================================================
+
+# zone bboxes derived from nation keys (deterministic, dialect-portable)
+def _zone_sql(alias: str = "nation") -> str:
+    from .sources.pages import _u  # deterministic uniform builder
+
+    key = f"cast({alias}.n_nationkey as bigint)"
+    cx = f"(-170.0 + {_u(key, 21)} * 340.0)"
+    cy = f"(-50.0 + {_u(key, 22)} * 100.0)"
+    return (
+        f"SELECT {alias}.n_nationkey AS zone_id, "
+        f"{cx} - 12.0 AS xmin, {cx} + 12.0 AS xmax, "
+        f"{cy} - 8.0 AS ymin, {cy} + 8.0 AS ymax FROM {alias}"
+    )
+
+
+_shared_sql(
+    "pip_bbox_join",
+    f"""
+    WITH {_GEO_CTE},
+    zones AS ({_zone_sql()})
+    SELECT z.zone_id, count(*) AS n_points,
+           min(g.doc_id) AS min_fid, max(g.doc_id) AS max_fid
+    FROM geo g JOIN zones z
+      ON g.lon >= z.xmin AND g.lon < z.xmax
+     AND g.lat >= z.ymin AND g.lat < z.ymax
+    GROUP BY z.zone_id
+    """,
+    doc="point-in-bbox spatial join: broadcastable dim side + range predicate",
+)
+
+
+@_register(
+    "knn_k5",
+    f"""
+    WITH {_GEO_CTE},
+    q AS (SELECT doc_id AS query_id, lon AS qlon, lat AS qlat
+          FROM geo WHERE doc_id % 97 = 0),
+    d AS (SELECT q.query_id, g.doc_id AS neighbor_id,
+                 {geom.haversine_sql('q.qlon', 'q.qlat', 'g.lon', 'g.lat')} AS dist
+          FROM q CROSS JOIN geo g WHERE g.doc_id <> q.query_id),
+    r AS (SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY dist, neighbor_id) AS rank
+          FROM d)
+    SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5
+    """,
+    doc="exact kNN join: broadcast query side, haversine, window top-k "
+        "(the brute-force baseline; the k-ring scale path is knn_cell_k5)",
+)
+def _knn_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = docs_geo(spark, sf_dir)
+    q = (
+        g.filter(F.col("doc_id") % 97 == 0)
+        .select(F.col("doc_id").alias("query_id"),
+                F.col("lon").alias("qlon"), F.col("lat").alias("qlat"))
+    )
+    d = (
+        g.crossJoin(F.broadcast(q))
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .withColumn(
+            "dist",
+            F.expr(geom.haversine_sql("qlon", "qlat", "lon", "lat")),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy("dist", "doc_id")
+    return (
+        d.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", F.col("doc_id").alias("neighbor_id"), "rank")
+    )
+
+
+# ===========================================================================
+# Web-scale text ops over `documents` (training-data pipeline operators)
+# ===========================================================================
+
+_shared_sql(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_md5, min(doc_id) AS keeper_id, count(*) AS n
+    FROM documents GROUP BY md5(text)
+    """,
+    doc="exact dedup: content-hash groupBy (the reference's md5 identity, "
+        "s3.py:211-227, at row granularity)",
+)
+
+
+@_register(
+    "token_count",
+    "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, "
+    "length(text) AS n_chars FROM documents",
+    doc="token counting (whitespace tokenizer), JVM-side split",
+)
+def _token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT doc_id, size(split(text, ' ')) AS n_tokens, "
+        "length(text) AS n_chars FROM documents"
+    )
+
+
+_STOP = ["the", "a", "data", "table"]
+
+
+def _occurs(col: str, word: str) -> str:
+    return (
+        f"cast((length({col}) - length(replace({col}, '{word}', ''))) "
+        f"/ {len(word)} as bigint)"
+    )
+
+
+_shared_sql(
+    "text_quality",
+    f"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           {_occurs('text', ' ')} + 1 AS n_tokens,
+           cast({' + '.join(_occurs('text', w) for w in _STOP)} as double)
+             / cast({_occurs('text', ' ')} + 1 as double) AS stopword_ratio
+    FROM documents
+    """,
+    doc="quality scoring: length + stopword-ratio heuristics, all codegen",
+)
+
+
+@_register(
+    "doc_fingerprint",
+    "SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) "
+    "AS fingerprint FROM documents",
+    doc="normalization fingerprint for near-dup candidate keys",
+)
+def _doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT doc_id, md5(lower(regexp_replace(text, '\\\\s+', ' '))) "
+        "AS fingerprint FROM documents"
+    )
+
+
+_LANG_MARKERS = {
+    "en": ["the", "fast", "key"],
+    "es": ["order", "sort", "table"],
+    "fr": ["scan", "merge", "part"],
+}
+
+
+def _lang_score(lang: str) -> str:
+    return " + ".join(_occurs("text", w) for w in _LANG_MARKERS[lang])
+
+
+_shared_sql(
+    "lang_id",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             {_lang_score('en')} AS s_en,
+             {_lang_score('es')} AS s_es,
+             {_lang_score('fr')} AS s_fr
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS pred_lang
+    FROM s
+    """,
+    doc="n-gram/marker-count language-ID heuristic (deterministic argmax)",
+)
+
+
+# ===========================================================================
+# Embedding similarity over `embeddings` (ANN baseline)
+# ===========================================================================
+
+_DOT_SPARK = (
+    "aggregate(zip_with(q.embedding, e.embedding, "
+    "(x, y) -> cast(x as double) * cast(y as double)), "
+    "cast(0.0 as double), (acc, v) -> acc + v)"
+)
+_NORM_SPARK = (
+    "sqrt(aggregate(transform({col}, x -> cast(x as double) * cast(x as double)), "
+    "cast(0.0 as double), (acc, v) -> acc + v))"
+)
+_DOT_DUCK = (
+    "list_reduce(list_transform(q.embedding, (x, i) -> "
+    "cast(x as double) * cast(e.embedding[i] as double)), (a, b) -> a + b)"
+)
+_NORM_DUCK = (
+    "sqrt(list_reduce(list_transform({col}, x -> "
+    "cast(x as double) * cast(x as double)), (a, b) -> a + b))"
+)
+
+
+@_register(
+    "ann_cosine_topk",
+    f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 101 = 0),
+    d AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                 {_DOT_DUCK} / ({_NORM_DUCK.format(col='q.embedding')} *
+                                {_NORM_DUCK.format(col='e.embedding')}) AS sim
+          FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.vec_id),
+    r AS (SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, neighbor_id) AS rank
+          FROM d)
+    SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 10
+    """,
+    doc="brute-force cosine top-k ANN baseline: broadcast queries, fold-based "
+        "dot product (zip_with/aggregate), window top-k; int-only output",
+)
+def _ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        WITH q AS (SELECT vec_id, embedding FROM embeddings
+                   WHERE vec_id % 101 = 0),
+        d AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                     {_DOT_SPARK} / ({_NORM_SPARK.format(col='q.embedding')} *
+                                     {_NORM_SPARK.format(col='e.embedding')}) AS sim
+              FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.vec_id),
+        r AS (SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, neighbor_id) AS rank
+              FROM d)
+        SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 10
+        """
+    )
+
+
+# ===========================================================================
+# Events: windowed aggregation + sessionization (streaming-shaped, batch-checked)
+# ===========================================================================
+
+@_register(
+    "events_hourly",
+    """
+    SELECT event_type,
+           CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+           count(*) AS n, sum(cast(round(value * 100, 0) as bigint)) AS value_cents
+    FROM events GROUP BY event_type, date_trunc('hour', ts)
+    """,
+    doc="tumbling-window aggregation (batch twin of the streaming op)",
+)
+def _events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT event_type,
+               CAST(unix_timestamp(date_trunc('hour', ts)) AS BIGINT)
+                 AS hour_epoch,
+               count(*) AS n, sum(cast(round(value * 100, 0) as bigint)) AS value_cents
+        FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """
+    )
+
+
+@_register(
+    "events_sessionize",
+    """
+    WITH s AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    t AS (
+      SELECT user_id,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM s)
+    SELECT user_id, session_id, count(*) AS n_events
+    FROM t GROUP BY user_id, session_id
+    """,
+    doc="30-min-gap sessionization: lag + running sum (stateful-op batch twin)",
+)
+def _events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH s AS (
+          SELECT user_id, event_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                      OR unix_timestamp(ts) - unix_timestamp(lag(ts) OVER w) > 1800
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        t AS (
+          SELECT user_id,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM s)
+        SELECT user_id, session_id, count(*) AS n_events
+        FROM t GROUP BY user_id, session_id
+        """
+    )
+
+
+# ===========================================================================
+# Relational coverage (joins/aggs/sorts; TPC-H-shaped over the test tables)
+# ===========================================================================
+
+# Money sums are computed in integer CENTS (round(x*100) -> bigint) so the
+# aggregate is exact integer arithmetic — immune to cross-engine double
+# summation-order ulp drift and round-half boundaries.
+_CENTS_PRICE = "cast(round(l_extendedprice * 100, 0) as bigint)"
+_CENTS_DISC = "cast(round(l_discount * 100, 0) as bigint)"
+_REVENUE_CENTS = f"sum({_CENTS_PRICE} * (100 - {_CENTS_DISC}))"
+
+_TPCH_Q1 = f"""
+SELECT l_returnflag, l_linestatus,
+       cast(sum(l_quantity) as bigint) AS sum_qty,
+       sum({_CENTS_PRICE}) AS base_price_cents,
+       {_REVENUE_CENTS} AS disc_price_c100,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+_shared_sql("tpch_q1", _TPCH_Q1,
+            doc="pricing-summary aggregate (hash agg, partial+final)")
+
+_TPCH_Q3 = f"""
+SELECT o.o_orderkey,
+       {_REVENUE_CENTS.replace('l_extendedprice', 'l.l_extendedprice')
+                      .replace('l_discount', 'l.l_discount')} AS revenue_c100,
+       CAST(epoch(o.o_orderdate) AS BIGINT) AS orderdate_epoch
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderstatus <> 'F'
+GROUP BY o.o_orderkey, o.o_orderdate
+"""
+
+
+@_register("tpch_q3", _TPCH_Q3,
+           doc="3-way join + agg (broadcast dim, shuffle fact)")
+def _tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    return spark.sql(_TPCH_Q3.replace(
+        "CAST(epoch(o.o_orderdate) AS BIGINT)",
+        "CAST(unix_timestamp(o.o_orderdate) AS BIGINT)",
+    ))
+
+
+_TPCH_Q5_BODY = f"""
+SELECT n.n_name,
+       {_REVENUE_CENTS.replace('l_extendedprice', 'l.l_extendedprice')
+                      .replace('l_discount', 'l.l_discount')} AS revenue_c100
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_regionkey = 1
+GROUP BY n.n_name
+"""
+_shared_sql("tpch_q5", _TPCH_Q5_BODY,
+            doc="5-way star join (dims broadcast; Catalyst join reorder)")
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: q.spark_fn for name, q in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle}

@@ -1,0 +1,120 @@
+"""Geometry-kernel tests: WKB roundtrip, PIP vs brute oracle, DP, clip,
+rasterize."""
+
+import numpy as np
+import pytest
+
+from cloudtile_spark import geom
+
+
+def test_wkb_roundtrip():
+    t, c = geom.wkb_parse(geom.wkb_point(12.5, -33.25))
+    assert t == 1 and np.allclose(c, [[12.5, -33.25]])
+    line = np.array([[0.0, 0.0], [1.0, 2.0], [3.0, -1.0]])
+    t, c = geom.wkb_parse(geom.wkb_linestring(line))
+    assert t == 2 and np.allclose(c, line)
+    ring = np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0]])
+    t, c = geom.wkb_parse(geom.wkb_polygon(ring))
+    assert t == 3 and len(c) == 5 and np.allclose(c[0], c[-1])
+
+
+def _py_pip(px, py, ring):
+    """Slow scalar even-odd oracle."""
+    inside = False
+    n = len(ring)
+    j = n - 1
+    for i in range(n):
+        xi, yi = ring[i]
+        xj, yj = ring[j]
+        if (yi > py) != (yj > py):
+            xint = xi + (py - yi) / (yj - yi) * (xj - xi)
+            if px < xint:
+                inside = not inside
+        j = i
+    return inside
+
+
+def test_points_in_polygon_vs_scalar_oracle():
+    rng = np.random.default_rng(3)
+    # random star-convex polygon
+    angles = np.sort(rng.uniform(0, 2 * np.pi, 9))
+    radii = rng.uniform(0.5, 2.0, 9)
+    ring = np.c_[radii * np.cos(angles), radii * np.sin(angles)]
+    px = rng.uniform(-2.5, 2.5, 400)
+    py = rng.uniform(-2.5, 2.5, 400)
+    got = geom.points_in_polygon(px, py, ring)
+    expect = np.array([_py_pip(a, b, ring) for a, b in zip(px, py)])
+    assert np.array_equal(got, expect)
+
+
+def test_shoelace_area():
+    square = np.array([[0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 2.0]])
+    assert geom.shoelace_area(square) == pytest.approx(4.0)
+    assert geom.shoelace_area(square[::-1]) == pytest.approx(-4.0)
+
+
+def test_haversine_known_distance():
+    # London (-0.1278, 51.5074) to Paris (2.3522, 48.8566): ~343.5 km
+    d = geom.haversine_m(
+        np.array([-0.1278]), np.array([51.5074]),
+        np.array([2.3522]), np.array([48.8566]),
+    )
+    assert d[0] == pytest.approx(343_500, rel=0.01)
+
+
+def test_haversine_sql_matches_numpy():
+    import duckdb
+    import pandas as pd
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "lon1": rng.uniform(-180, 180, 1000),
+        "lat1": rng.uniform(-85, 85, 1000),
+        "lon2": rng.uniform(-180, 180, 1000),
+        "lat2": rng.uniform(-85, 85, 1000),
+    })
+    con = duckdb.connect()
+    con.register("t", df)
+    got = con.execute(
+        f"SELECT {geom.haversine_sql('lon1','lat1','lon2','lat2')} AS d FROM t"
+    ).fetchnumpy()["d"]
+    expect = geom.haversine_m(df.lon1, df.lat1, df.lon2, df.lat2)
+    assert np.allclose(got, expect, rtol=1e-12)
+
+
+def test_douglas_peucker():
+    # collinear middle points vanish
+    line = np.array([[0.0, 0.0], [1.0, 0.001], [2.0, -0.001], [3.0, 0.0]])
+    out = geom.douglas_peucker(line, 0.01)
+    assert len(out) == 2
+    # a real corner survives
+    line = np.array([[0.0, 0.0], [1.0, 1.0], [2.0, 0.0]])
+    out = geom.douglas_peucker(line, 0.5)
+    assert len(out) == 3
+
+
+def test_clip_ring():
+    ring = np.array([[-1.0, -1.0], [3.0, -1.0], [3.0, 3.0], [-1.0, 3.0]])
+    clipped = geom.clip_ring_to_rect(ring, 0, 0, 2, 2)
+    assert abs(geom.shoelace_area(clipped)) == pytest.approx(4.0)
+    # fully outside -> empty
+    out = geom.clip_ring_to_rect(ring, 10, 10, 12, 12)
+    assert len(out) == 0
+
+
+def test_clip_line():
+    line = np.array([[-1.0, 0.5], [3.0, 0.5]])
+    segs = geom.clip_line_to_rect(line, 0, 0, 2, 1)
+    assert len(segs) == 1
+    assert np.allclose(segs[0], [[0.0, 0.5], [2.0, 0.5]])
+    # zigzag exits and re-enters -> two segments
+    zig = np.array([[0.5, 0.5], [2.5, 0.5], [2.5, 0.6], [0.5, 0.6]])
+    segs = geom.clip_line_to_rect(zig, 0, 0, 2, 1)
+    assert len(segs) == 2
+
+
+def test_rasterize_ring_area_parity():
+    ring = np.array([[0.25, 0.25], [0.75, 0.25], [0.75, 0.75], [0.25, 0.75]])
+    grid = geom.rasterize_ring(ring, 0, 0, 1, 1, size=64)
+    frac = grid.sum() / grid.size
+    assert frac == pytest.approx(0.25, abs=0.02)

@@ -1,0 +1,136 @@
+"""End-to-end: synthetic pages -> extract -> pyramid; golden invariants.
+
+The analogue of the reference's golden-argv tests (reference
+tests/test_geofile.py:136-157): we pin observable outputs instead of argv.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cloudtile_spark import tiles
+from cloudtile_spark.operators.extract import extract_features, extracted_text
+from cloudtile_spark.operators.pyramid import (
+    build_pyramid, guess_max_zoom, topk_per_tile, assign_xy, explode_zooms,
+)
+from cloudtile_spark.settings import TilingSettings
+from cloudtile_spark.sources.pages import synth_pages
+
+N = 2000
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    df = synth_pages(spark, N, partitions=8).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def features(pages):
+    return extract_features(pages.drop("page_id")).cache()
+
+
+def test_pages_deterministic_across_parallelism(spark):
+    a = synth_pages(spark, 500, partitions=2).orderBy("url").collect()
+    b = synth_pages(spark, 500, partitions=16).orderBy("url").collect()
+    assert a == b
+
+
+def test_text_invariant_byte_identical(pages):
+    """BASELINE.json input_hint: byte-identical extracted text per url."""
+    bad = (
+        extracted_text(pages)
+        .filter(F.col("extracted_text") != F.col("text"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_extract_recovers_all_rows_and_ids(pages, features):
+    assert features.count() == N
+    # feature_id parsed from url equals the generating page_id
+    joined = features.join(pages.select("page_id", "url"), "url")
+    assert joined.filter(F.col("feature_id") != F.col("page_id")).count() == 0
+
+
+def test_extract_lonlat_matches_numpy_tilemath(features):
+    """Spark-side tile assignment == NumPy oracle on the same rows."""
+    pdf = (
+        assign_xy(features.withColumn("z", F.lit(9)))
+        .select("feature_id", "lon", "lat", "x", "y")
+        .toPandas()
+        .sort_values("feature_id")
+    )
+    ex, ey = tiles.lonlat_to_tile(pdf.lon.values, pdf.lat.values, 9)
+    assert np.array_equal(pdf.x.values, ex)
+    assert np.array_equal(pdf.y.values, ey)
+
+
+def test_pyramid_invariants(features):
+    t = build_pyramid(features, minz=0, maxz=6).cache()
+    rows = t.collect()
+    # z0 has exactly one tile holding every feature
+    z0 = [r for r in rows if r.z == 0]
+    assert len(z0) == 1 and z0[0].feature_count == N
+    # counts per zoom sum to N at every zoom (points, no cap hit at this size)
+    by_z = {}
+    for r in rows:
+        by_z[r.z] = by_z.get(r.z, 0) + r.feature_count
+    assert all(v == N for v in by_z.values())
+    # ids are sorted and count-consistent; checksum present
+    for r in rows:
+        assert list(r.feature_ids) == sorted(r.feature_ids)
+        assert len(r.feature_ids) == r.feature_count
+        assert len(r.checksum) == 64
+    # monotone refinement: tiles per zoom non-decreasing
+    n_tiles = [sum(1 for r in rows if r.z == z) for z in range(7)]
+    assert all(a <= b for a, b in zip(n_tiles, n_tiles[1:]))
+
+
+def test_pyramid_deterministic_across_parallelism(spark):
+    outs = []
+    for parts in (2, 16):
+        f = extract_features(synth_pages(spark, 800, partitions=parts))
+        t = build_pyramid(f, minz=0, maxz=5)
+        outs.append(sorted(map(tuple, t.select("z", "x", "y", "feature_count", "checksum").collect())))
+    assert outs[0] == outs[1]
+
+
+def test_feature_cap_enforced(features):
+    s = TilingSettings()
+    s["maximum-tile-features"] = 50
+    t = build_pyramid(features, settings=s, minz=0, maxz=2)
+    top = t.agg(F.max("feature_count")).collect()[0][0]
+    assert top == 50
+    # cap keeps the LOWEST feature_ids (deterministic priority)
+    z0 = t.filter("z = 0").collect()[0]
+    assert list(z0.feature_ids) == sorted(z0.feature_ids)
+    assert max(z0.feature_ids) < N  # sanity
+
+
+def test_topk_salted_equals_plain_window(spark, features):
+    df = assign_xy(explode_zooms(features, 0, 3))
+    salted = topk_per_tile(df, 20, salt_buckets=8)
+    plain = topk_per_tile(df, 20, salt_buckets=1)
+    a = sorted(map(tuple, salted.select("z", "x", "y", "feature_id").collect()))
+    b = sorted(map(tuple, plain.select("z", "x", "y", "feature_id").collect()))
+    assert a == b
+
+
+def test_guess_max_zoom(features):
+    zg = guess_max_zoom(features, cap=100)
+    assert 0 < zg <= 14
+    # at zg the densest tile is under cap; at zg-1 it is not
+    for z, ok in ((zg, True), (zg - 1, False)):
+        m = (
+            assign_xy(features.withColumn("z", F.lit(z)))
+            .groupBy("z", "x", "y").count()
+            .agg(F.max("count")).collect()[0][0]
+        )
+        assert (m <= 100) == ok
+
+
+def test_missing_zooms_raise_typeerror(features):
+    with pytest.raises(TypeError):
+        build_pyramid(features)

@@ -1,0 +1,107 @@
+"""Local mirror of the driver's correctness gate: run every REGISTRY query
+in Spark AND its DuckDB oracle on the same parquet, compare row count, sorted
+schema, and an order-insensitive value hash.
+
+Usage: python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+from cloudtile_spark.queries import REGISTRY, TABLES  # noqa: E402
+from cloudtile_spark.session import get_spark  # noqa: E402
+
+
+def canon_value(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # normalize -0.0 and integral floats
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(round(v, 9))
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def table_hash(cols: list[str], rows: list[tuple]) -> tuple[str, int]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "\x1f".join(canon_value(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256("\n".join(lines).encode()).hexdigest()
+    return h, len(rows)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    spark = get_spark("correctness", cores=8, shuffle_partitions=8)
+    failures = []
+    for name, q in REGISTRY.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = q.spark_fn(spark, sf_dir)
+            srows = [tuple(r) for r in sdf.collect()]
+            scols = [f.lower() for f in sdf.columns]
+            sh, sn = table_hash(scols, srows)
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {str(e)[:300]}")
+            continue
+        if not q.oracle:
+            print(f"ok   {name}: rows={sn} (rows-only, no oracle)")
+            continue
+        try:
+            res = con.execute(q.oracle)
+            dcols = [d[0].lower() for d in res.description]
+            drows = res.fetchall()
+            dh, dn = table_hash(dcols, drows)
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error: {str(e)[:300]}")
+            continue
+        if sorted(scols) != sorted(dcols):
+            failures.append(name)
+            print(f"FAIL {name}: schema {sorted(scols)} vs {sorted(dcols)}")
+        elif sn != dn:
+            failures.append(name)
+            print(f"FAIL {name}: rowcount {sn} vs {dn}")
+        elif sh != dh:
+            failures.append(name)
+            print(f"FAIL {name}: value hash mismatch ({sn} rows)")
+            # print a small diff sample
+            sset = set("\x1f".join(map(canon_value, r)) for r in srows)
+            dset = set("\x1f".join(map(canon_value, r)) for r in drows)
+            for x in list(sset - dset)[:3]:
+                print("   spark-only:", x[:160])
+            for x in list(dset - sset)[:3]:
+                print("   duck-only: ", x[:160])
+        else:
+            print(f"PASS {name}: rows={sn} hash={sh[:12]}")
+    spark.stop()
+    print(f"\n{len(failures)} failures" if failures else "\nALL PASS")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
