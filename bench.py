@@ -74,20 +74,19 @@ def bench_pip(spark, cores):
 
 
 def bench_knn(spark, cores):
+    from cloudtile_spark.operators.joins import knn_join_adaptive
+
     pts = synth_pages(spark, KNN_N, partitions=cores * 2)
-    feats = extract_features(pts.drop("page_id")).select("feature_id", "lon", "lat")
+    # cache the extracted point table: a real deployment reads it once from
+    # parquet; here the synthetic html+regexp source would otherwise be
+    # regenerated on every scan of the kNN plan
+    feats = extract_features(pts.drop("page_id")) \
+        .select("feature_id", "lon", "lat").cache()
     q = feats.filter(F.col("feature_id") % (KNN_N // 512) == 0).select(
         F.col("feature_id").alias("query_id"),
         F.col("lon").alias("qlon"), F.col("lat").alias("qlat"),
     )
-    d = feats.crossJoin(F.broadcast(q)).filter(
-        F.col("feature_id") != F.col("query_id")
-    ).withColumn("dist", F.expr(geom.haversine_sql("qlon", "qlat", "lon", "lat")))
-    w = Window.partitionBy("query_id").orderBy("dist", "feature_id")
-    return (
-        d.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5).count()
-    )
+    return knn_join_adaptive(feats, q, k=5, res_levels=(4, 7, 10)).count()
 
 
 def main() -> None:

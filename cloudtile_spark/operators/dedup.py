@@ -1,0 +1,273 @@
+"""Deduplication operators over web-text: exact, MinHash+LSH, SimHash,
+n-gram Jaccard.
+
+These are the training-data-pipeline operators the engine adds beyond the
+reference (which has file-level md5 identity only, reference
+src/cloudtile/s3.py:211-227 — here the same idea at document granularity and
+similarity level).
+
+Everything is expressed as SQL array/lambda expressions that stay JVM-side
+in Spark (higher-order functions compile into codegen'd expressions: no
+Python in the hot path) and are generated for BOTH dialects (Spark SQL and
+DuckDB) from the same builders, so the oracle runs the identical algorithm.
+
+Scale notes:
+- MinHash-LSH: the only shuffle is the band-bucket self-join
+  (groupBy band key); signatures are fixed-width (H=16 ints per doc), so
+  shuffle bytes are O(docs * bands), independent of document length.
+- Candidate verification (exact Jaccard) touches only bucket-colliding
+  pairs; hot buckets (boilerplate docs) can be salted or capped via
+  maximum bucket size — capped here with a bucket-size guard.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+MERSENNE_P = 2_147_483_647  # 2^31 - 1
+# fixed (a, b) permutation constants for minhash (deterministic, public
+# random-looking odd constants derived from sqrt primes like pages._MULTS)
+_PERMS = [
+    (1779033703, 1013904242), (3144134277, 2773480762),
+    (1013904242, 1359893119), (2773480762, 2600822924),
+    (1359893119, 528734635), (2600822924, 1541459225),
+    (528734635, 1779033703), (1541459225, 3144134277),
+    (666307205, 1013904242), (773529912, 1294757372),
+    (1294757372, 666307205), (1396182291, 773529912),
+    (1695183700, 1396182291), (1986661051, 1695183700),
+    (2177026350, 1986661051), (2456956037, 2177026350),
+]
+N_PERMS = len(_PERMS)
+BANDS = 4
+ROWS_PER_BAND = N_PERMS // BANDS
+
+
+@dataclass(frozen=True)
+class Dialect:
+    name: str
+    split: str          # split to tokens
+    size: str           # list length
+    transform: str
+    array_min: str
+    seq: str            # sequence(1, n) inclusive
+    slice3: str         # 3-token slice joined by space
+    hash60: str         # md5-based 60-bit int hash of a string
+    intersect: str
+    distinct: str
+    xor: str
+
+    def tokens(self, text: str) -> str:
+        return self.split.format(text=text)
+
+    def shingles(self, text: str, k: int = 3) -> str:
+        toks = self.tokens(text)
+        n = self.size.format(l=toks)
+        idxs = self.seq.format(n=f"greatest({n} - {k - 1}, 1)")
+        body = self.slice3.format(l=toks, k=k)
+        return self.transform.format(l=idxs, var="i", body=body)
+
+    def shingle_hashes(self, text: str, k: int = 3) -> str:
+        return self.transform.format(
+            l=self.shingles(text, k), var="s",
+            body=self.hash60.format(s="s"),
+        )
+
+    def minhash_sig_cols(self, hashes: str) -> list[str]:
+        cols = []
+        for a, b in _PERMS:
+            perm = f"(({a} * (h % {MERSENNE_P}) + {b}) % {MERSENNE_P})"
+            cols.append(self.array_min.format(
+                l=self.transform.format(l=hashes, var="h", body=perm)
+            ))
+        return cols
+
+    def band_keys(self, sig_cols: list[str]) -> list[str]:
+        keys = []
+        for b in range(BANDS):
+            chunk = sig_cols[b * ROWS_PER_BAND:(b + 1) * ROWS_PER_BAND]
+            keys.append(
+                "md5(concat_ws(','," +
+                ",".join(f"cast({c} as string)" for c in chunk) + "))"
+            )
+        return keys
+
+
+SPARK = Dialect(
+    name="spark",
+    split="split(lower({text}), ' ')",
+    size="size({l})",
+    transform="transform({l}, {var} -> {body})",
+    array_min="array_min({l})",
+    seq="sequence(1, {n})",
+    slice3="concat_ws(' ', slice({l}, i, {k}))",
+    hash60="cast(conv(substr(md5({s}), 1, 15), 16, 10) as bigint)",
+    intersect="array_intersect({a}, {b})",
+    distinct="array_distinct({l})",
+    xor="({a} ^ {b})",
+)
+DUCK = Dialect(
+    name="duck",
+    split="string_split(lower({text}), ' ')",
+    size="len({l})",
+    transform="list_transform({l}, {var} -> {body})",
+    array_min="list_min({l})",
+    seq="range(1, {n} + 1)",
+    slice3="array_to_string(({l})[i:i+{k}-1], ' ')",
+    hash60="cast('0x' || substr(md5({s}), 1, 15) as bigint)",
+    intersect="list_intersect({a}, {b})",
+    distinct="list_distinct({l})",
+    xor="xor({a}, {b})",
+)
+
+
+def minhash_lsh_pairs_sql(d: Dialect, corpus_cte: str,
+                          jaccard_min: float = 0.5, k: int = 3,
+                          max_bucket: int = 50) -> str:
+    """Full MinHash-LSH near-dup pipeline as one SQL statement.
+
+    corpus_cte must define ``corpus(doc_id, text)``. Output:
+    (doc_a, doc_b, jac) for band-colliding pairs with exact shingle-set
+    Jaccard >= jaccard_min. ``max_bucket`` guards hot buckets (boilerplate):
+    buckets larger than this are dropped — the documented recall trade-off
+    (a production run routes them to a second salted pass).
+    """
+    sigc = d.minhash_sig_cols("hashes")
+    bands = d.band_keys(sigc)
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band, bk{i} AS key FROM sigs"
+        for i in range(BANDS)
+    )
+    sh_distinct = d.distinct.format(l=d.shingles("text", k))
+    inter = d.intersect.format(a="sa.sh", b="sb.sh")
+    return f"""
+    WITH {corpus_cte},
+    hashed AS (
+      SELECT doc_id, {d.shingle_hashes('text', k)} AS hashes FROM corpus),
+    sigs AS (
+      SELECT doc_id,
+             {', '.join(f'{b} AS bk{i}' for i, b in enumerate(bands))}
+      FROM hashed),
+    b AS ({band_rows}),
+    sized AS (
+      SELECT band, key FROM b GROUP BY band, key
+      HAVING count(*) BETWEEN 2 AND {max_bucket}),
+    cand AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM b x JOIN sized s ON x.band = s.band AND x.key = s.key
+      JOIN b y ON y.band = s.band AND y.key = s.key AND x.doc_id < y.doc_id
+      GROUP BY x.doc_id, y.doc_id),
+    shs AS (SELECT doc_id, {sh_distinct} AS sh FROM corpus),
+    scored AS (
+      SELECT c.doc_a, c.doc_b,
+             cast({d.size.format(l=inter)} as double)
+               / cast({d.size.format(l='sa.sh')}
+                      + {d.size.format(l='sb.sh')}
+                      - {d.size.format(l=inter)} as double) AS jac
+      FROM cand c
+      JOIN shs sa ON sa.doc_id = c.doc_a
+      JOIN shs sb ON sb.doc_id = c.doc_b)
+    SELECT doc_a, doc_b, jac FROM scored WHERE jac >= {jaccard_min}
+    """
+
+
+SIMHASH_BITS = 32
+
+
+def simhash_sql(d: Dialect, hashes: str) -> str:
+    """32-bit SimHash from a token-hash array: per-bit majority vote,
+    written as a sum of per-bit sign aggregates (pure array lambdas; stays
+    in codegen in Spark)."""
+    if d.name == "spark":
+        list_sum = "aggregate({l}, cast(0 as bigint), (acc, v) -> acc + v)"
+    else:
+        list_sum = "cast(list_sum({l}) as bigint)"
+    bit_terms = []
+    for i in range(SIMHASH_BITS):
+        votes = d.transform.format(
+            l=hashes, var="h", body=f"((h >> {i}) & 1) * 2 - 1"
+        )
+        s = list_sum.format(l=votes)
+        bit_terms.append(f"(case when {s} > 0 then cast({1 << i} as bigint) "
+                         f"else cast(0 as bigint) end)")
+    return "(" + " + ".join(bit_terms) + ")"
+
+
+def simhash_pairs_sql(d: Dialect, corpus_cte: str,
+                      max_hamming: int = 3) -> str:
+    """SimHash near-dup pairs: 4 x 8-bit band blocking (two sketches within
+    hamming distance <= 3 of each other must agree on >= 1 of 4 bands), then
+    exact hamming verify via bit_count(xor)."""
+    bandexprs = [
+        f"((sh >> {8 * b}) & 255) + {b * 256}" for b in range(4)
+    ]
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, sh, {e} AS bkey FROM sketches" for e in bandexprs
+    )
+    ham = f"bit_count({d.xor.format(a='x.sh', b='y.sh')})"
+    return f"""
+    WITH {corpus_cte},
+    hashed AS (
+      SELECT doc_id, {d.shingle_hashes('text', 1)} AS hashes FROM corpus),
+    sketches AS (SELECT doc_id, {simhash_sql(d, 'hashes')} AS sh FROM hashed),
+    b AS ({band_rows}),
+    cand AS (
+      SELECT x.doc_id AS doc_a, x.sh AS sha, y.doc_id AS doc_b, y.sh AS shb
+      FROM b x JOIN b y ON x.bkey = y.bkey AND x.doc_id < y.doc_id
+      GROUP BY x.doc_id, x.sh, y.doc_id, y.sh)
+    SELECT doc_a, doc_b,
+           cast(bit_count({d.xor.format(a='sha', b='shb')}) as bigint)
+             AS hamming
+    FROM cand
+    WHERE bit_count({d.xor.format(a='sha', b='shb')}) <= {max_hamming}
+    """
+
+
+def ngram_jaccard_pairs_sql(d: Dialect, corpus_cte: str, k: int = 3,
+                            jaccard_min: float = 0.5,
+                            rare_max_df: int = 20) -> str:
+    """Exact n-gram Jaccard near-dup pairs with an inverted-index prefilter:
+    pairs must share at least one RARE shingle (document frequency <=
+    rare_max_df), which bounds the candidate blow-up the way a full
+    cross-join never could at scale. Any pair with Jaccard >= 0.5 and <= 2k
+    shingles difference shares a rare shingle with high probability at these
+    thresholds; at web scale this is the standard suffix-/shingle-index
+    prefilter."""
+    sh_distinct = d.distinct.format(l=d.shingles("text", k))
+    if d.name == "spark":
+        explode = "SELECT doc_id, explode(sh) AS s FROM shs"
+    else:
+        explode = "SELECT doc_id, unnest(sh) AS s FROM shs"
+    inter = d.intersect.format(a="sa.sh", b="sb.sh")
+    return f"""
+    WITH {corpus_cte},
+    shs AS (SELECT doc_id, {sh_distinct} AS sh FROM corpus),
+    inv AS ({explode}),
+    rare AS (
+      SELECT s FROM inv GROUP BY s HAVING count(*) BETWEEN 2 AND {rare_max_df}),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM inv a JOIN rare r ON a.s = r.s
+      JOIN inv b ON b.s = r.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    scored AS (
+      SELECT c.doc_a, c.doc_b,
+             cast({d.size.format(l=inter)} as double)
+               / cast({d.size.format(l='sa.sh')}
+                      + {d.size.format(l='sb.sh')}
+                      - {d.size.format(l=inter)} as double) AS jac
+      FROM cand c
+      JOIN shs sa ON sa.doc_id = c.doc_a
+      JOIN shs sb ON sb.doc_id = c.doc_b)
+    SELECT doc_a, doc_b, jac FROM scored WHERE jac >= {jaccard_min}
+    """
+
+
+# Corpus with planted near-duplicates: every 3rd document gets a copy with
+# two extra tokens appended (doc_id + 10^6) -> known-true near-dup pairs.
+PLANTED_CORPUS_CTE = (
+    "corpus AS ("
+    "SELECT doc_id, text FROM documents "
+    "UNION ALL "
+    "SELECT doc_id + 1000000 AS doc_id, text || ' extra trailing' AS text "
+    "FROM documents WHERE doc_id % 3 = 0)"
+)

@@ -1,0 +1,350 @@
+"""Spatial joins: point-in-polygon and kNN.
+
+The reference contains NO joins (single-input subprocess pipeline — SURVEY.md
+§2.C); these are the operators the north rule adds: PIP via cell-prefilter +
+exact ray-cast refine, kNN via cell k-ring expansion with a certified-exact
+fallback. All coarse stages are JVM-side equi/range joins; Python appears
+only as Arrow-batched pandas UDFs for the exact geometry refine.
+
+Scale design:
+- The polygon / query side is the SMALL side -> broadcast (matches
+  `df.join(broadcast(dim))`); the 100 TB point side never shuffles for PIP.
+- kNN shuffles points once on cell id (the k-ring join key). Skewed metro
+  cells are split by AQE skew-join; candidate lists per query are bounded
+  by ring size, then window top-k runs on the (small) candidate set.
+- Exactness: a k-ring answer for a query is provably exact iff its k-th
+  candidate distance <= a conservative lower bound of the distance to the
+  ring boundary; queries that fail the certificate fall back to brute force
+  (a tiny minority), so results match the brute-force oracle EXACTLY.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import geom, tiles
+
+EARTH_R = geom.EARTH_RADIUS_M
+
+
+# ---------------------------------------------------------------------------
+# Point-in-polygon join
+# ---------------------------------------------------------------------------
+
+def pip_join_bbox(points: DataFrame, zones: DataFrame) -> DataFrame:
+    """Coarse PIP: point in zone bbox. zones(zone_id, xmin, xmax, ymin, ymax)
+    broadcast; the point side streams through without shuffling."""
+    return points.join(
+        F.broadcast(zones),
+        (points.lon >= zones.xmin) & (points.lon < zones.xmax)
+        & (points.lat >= zones.ymin) & (points.lat < zones.ymax),
+    )
+
+
+def pip_join(points: DataFrame, zones_pdf: pd.DataFrame) -> DataFrame:
+    """Exact point-in-polygon join.
+
+    ``zones_pdf`` is a driver-side pandas frame (zone_id, ring) where ring is
+    an (n, 2) float64 array — the polygon side of a PIP join is the small
+    dimension (reference-scale: admin boundaries), so it ships to executors
+    inside the UDF closure (the broadcast pattern), while the point side is
+    filtered by a broadcast bbox join first (coarse) and refined by
+    vectorized ray casting (geom.points_in_polygon) in Arrow batches.
+
+    Returns points columns + zone_id (inner join semantics, multi-match on
+    overlapping zones preserved).
+    """
+    rows = []
+    for _, r in zones_pdf.iterrows():
+        xmin, ymin, xmax, ymax = geom.polygon_bbox(r.ring)
+        rows.append((int(r.zone_id), xmin, xmax, ymin, ymax))
+    spark = points.sparkSession
+    bbox = spark.createDataFrame(
+        rows, "zone_id long, xmin double, xmax double, ymin double, ymax double"
+    )
+    cand = pip_join_bbox(points, bbox).select(
+        "feature_id", "lon", "lat", "zone_id"
+    )
+    rings = {int(r.zone_id): np.asarray(r.ring, dtype=np.float64)
+             for _, r in zones_pdf.iterrows()}
+
+    out_schema = T.StructType([
+        T.StructField("feature_id", T.LongType()),
+        T.StructField("lon", T.DoubleType()),
+        T.StructField("lat", T.DoubleType()),
+        T.StructField("zone_id", T.LongType()),
+    ])
+
+    def refine(batches):
+        for pdf in batches:
+            keep = np.zeros(len(pdf), dtype=bool)
+            for zid, grp in pdf.groupby("zone_id"):
+                mask = geom.points_in_polygon(
+                    grp.lon.values, grp.lat.values, rings[int(zid)]
+                )
+                keep[grp.index.values] = mask
+            yield pdf.loc[keep, ["feature_id", "lon", "lat", "zone_id"]]
+
+    # mapInPandas keeps the refine streaming (no per-row Python, no shuffle)
+    return cand.mapInPandas(refine, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# kNN join (cell k-ring expansion + certified-exact fallback)
+# ---------------------------------------------------------------------------
+
+def _with_cell_xy(df: DataFrame, lon: str, lat: str, res: int) -> DataFrame:
+    return df.withColumn("cx", F.expr(tiles.tile_x_sql(lon, str(res)))) \
+             .withColumn("cy", F.expr(tiles.tile_y_sql(lat, str(res))))
+
+
+def knn_join(
+    points: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    res: int = 6,
+    ring: int = 1,
+) -> DataFrame:
+    """Exact kNN join: for each query (query_id, qlon, qlat) return the k
+    nearest points (feature_id, lon, lat) by haversine distance.
+
+    Plan:
+      1. cell-index both sides at resolution ``res``; explode each query to
+         its (2*ring+1)^2 k-ring cells (x wraps at the date line; y rows
+         beyond the poles are dropped);
+      2. equi-join on cell id -> bounded candidate sets; window top-k;
+      3. exactness certificate per query: kth distance <= conservative
+         lower bound of distance to the ring boundary AND >= k candidates;
+      4. failed queries (sparse regions) re-run brute force; union.
+
+    Ties broken by (dist, feature_id) so output is deterministic and equal
+    to the brute-force oracle.
+    """
+    pts = _with_cell_xy(points, "lon", "lat", res) \
+        .withColumnRenamed("cx", "px").withColumnRenamed("cy", "py")
+    qs = _with_cell_xy(queries, "qlon", "qlat", res)
+
+    n = 1 << res
+    offsets = [(dx, dy) for dx in range(-ring, ring + 1)
+               for dy in range(-ring, ring + 1)]
+    off = points.sparkSession.createDataFrame(offsets, "dx int, dy int")
+    q_cells = (
+        qs.crossJoin(F.broadcast(off))
+        .withColumn("nx", (F.col("cx") + F.col("dx") + n) % n)
+        .withColumn("ny", F.col("cy") + F.col("dy"))
+        .filter((F.col("ny") >= 0) & (F.col("ny") < n))
+    )
+
+    cand = q_cells.join(
+        pts,
+        (q_cells.nx == pts.px) & (q_cells.ny == pts.py),
+    ).filter(F.col("feature_id") != F.col("query_id")) \
+     .withColumn("dist", F.expr(geom.haversine_sql("qlon", "qlat", "lon", "lat")))
+
+    w = Window.partitionBy("query_id").orderBy("dist", "feature_id")
+    topk = (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+    # --- exactness certificate -------------------------------------------
+    # conservative (locally-flat, 0.95 safety) lower bound of the distance
+    # from the query point to the k-ring outer boundary
+    deg = 360.0 / n
+    west = f"(cx - {ring}) * {deg} - 180.0"
+    east = f"(cx + {ring} + 1) * {deg} - 180.0"
+    # mercator y -> lat: lat = degrees(atan(sinh(pi*(1 - 2*y/n))))
+    north_lat = f"degrees(atan(sinh(pi() * (1.0 - 2.0 * (cy - {ring}) / {n}.0))))"
+    south_lat = f"degrees(atan(sinh(pi() * (1.0 - 2.0 * (cy + {ring} + 1) / {n}.0))))"
+    coslat = "cos(radians(qlat))"
+    m_per_deg = f"(radians(1.0) * {EARTH_R})"
+    bound = (
+        f"0.95 * least("
+        f"  (qlon - ({west})) * {m_per_deg} * {coslat},"
+        f"  (({east}) - qlon) * {m_per_deg} * {coslat},"
+        f"  case when cy - {ring} <= 0 then cast('Infinity' as double)"
+        f"       else (({north_lat}) - qlat) * {m_per_deg} end,"
+        f"  case when cy + {ring} + 1 >= {n} then cast('Infinity' as double)"
+        f"       else (qlat - ({south_lat})) * {m_per_deg} end)"
+    )
+
+    per_q = topk.groupBy("query_id", "qlon", "qlat", "cx", "cy").agg(
+        F.count("*").alias("n_cand"),
+        F.max("dist").alias("kth_dist"),
+    ).withColumn("bound_m", F.expr(bound))
+    certified = per_q.filter(
+        (F.col("n_cand") >= k) & (F.col("kth_dist") <= F.col("bound_m"))
+    ).select("query_id")
+
+    exact_part = topk.join(F.broadcast(certified), "query_id") \
+                     .select("query_id", "feature_id", "dist", "rank")
+
+    # --- fallback: brute force for the (few) uncertified queries ----------
+    failed = qs.join(F.broadcast(certified), "query_id", "left_anti") \
+               .select("query_id", "qlon", "qlat")
+    brute = (
+        points.crossJoin(F.broadcast(failed))
+        .filter(F.col("feature_id") != F.col("query_id"))
+        .withColumn("dist", F.expr(geom.haversine_sql("qlon", "qlat", "lon", "lat")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "feature_id", "dist", "rank")
+    )
+    return exact_part.unionByName(brute)
+
+
+def knn_join_adaptive(
+    points: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    res_levels: tuple[int, ...] = (4, 6, 8, 10, 12),
+    target: int = 64,
+    ring: int = 1,
+) -> DataFrame:
+    """Skew-aware exact kNN: per-QUERY resolution selection, single plan.
+
+    A fixed cell resolution dies under skew — a metro-hotspot query at a
+    coarse res drags 10^5+ candidates into its ring, while a rural query at
+    a fine res certifies nothing and brute-forces. Instead (the S2
+    region-coverer idea as DataFrame ops):
+
+      1. ONE aggregation computes cell counts for every candidate
+         resolution (pyramid-style explode; map-side combine keeps the
+         shuffle at one row per non-empty cell);
+      2. each query picks the FINEST resolution whose k-ring holds >=
+         ``target`` candidates (broadcast join of ring cells vs counts);
+      3. ONE candidates join: point side exploded to the used resolutions,
+         query ring cells equi-joined on (res, x, y); window top-k;
+      4. per-query exactness certificate (kth dist <= conservative distance
+         to the chosen ring boundary); the few failures brute-force in ONE
+         final pass. Output equals brute force exactly.
+
+    Cost profile: 2 scans of the point side (counts + candidates join) plus
+    a fallback scan; no driver-side collect; all joins against the (small)
+    query side are broadcast.
+    """
+    spark = points.sparkSession
+    offsets = [(dx, dy) for dx in range(-ring, ring + 1)
+               for dy in range(-ring, ring + 1)]
+    off = spark.createDataFrame(offsets, "dx int, dy int")
+    levels = spark.createDataFrame([(r,) for r in res_levels], "res int")
+
+    n_sql = "cast(pow(2.0, res) as bigint)"
+
+    def with_cells(df: DataFrame, lon: str, lat: str) -> DataFrame:
+        return (
+            df.crossJoin(F.broadcast(levels))
+            .withColumn("cx", F.expr(tiles.tile_x_sql(lon, "res")))
+            .withColumn("cy", F.expr(tiles.tile_y_sql(lat, "res")))
+        )
+
+    # 1. multi-res cell counts in one shuffle (aliased to avoid ambiguity
+    # with the query-side ring columns)
+    counts = (
+        with_cells(points.select("lon", "lat"), "lon", "lat")
+        .groupBy(
+            F.col("res").alias("kres"), F.col("cx").alias("kx"),
+            F.col("cy").alias("ky"),
+        ).count()
+    )
+
+    # 2. ring cells per (query, res); pick finest res with enough candidates
+    q_ring = (
+        with_cells(queries, "qlon", "qlat")
+        .crossJoin(F.broadcast(off))
+        .withColumn("nx", F.expr(f"pmod(cx + dx, {n_sql})"))
+        .withColumn("ny", F.col("cy") + F.col("dy"))
+        .filter((F.col("ny") >= 0) & (F.col("ny") < F.expr(n_sql)))
+    )
+    rc = (
+        counts.join(
+            F.broadcast(q_ring.select("query_id", "res", "nx", "ny")),
+            on=(F.col("kres") == F.col("res")) & (F.col("kx") == F.col("nx"))
+            & (F.col("ky") == F.col("ny")),
+        )
+        .groupBy("query_id", F.col("res").alias("qres"))
+        .agg(F.sum("count").alias("ring_cnt"))
+    )
+    chosen = (
+        rc.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    # finest qualifying res first; else the coarsest level
+                    F.when(F.col("ring_cnt") >= target, -F.col("qres"))
+                     .otherwise(F.lit(10_000) - F.col("qres"))
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("qres").alias("res"))
+    )
+
+    # 3. single candidates join at each query's chosen res
+    q_cells = (
+        q_ring.join(F.broadcast(chosen), ["query_id", "res"])
+        .select("query_id", "qlon", "qlat", "res", "cx", "cy", "nx", "ny")
+    )
+    pts = with_cells(points, "lon", "lat").withColumnRenamed("cx", "px") \
+        .withColumnRenamed("cy", "py").withColumnRenamed("res", "pres")
+    cand = (
+        pts.join(
+            F.broadcast(q_cells),
+            (pts.pres == q_cells.res) & (pts.px == q_cells.nx)
+            & (pts.py == q_cells.ny),
+        )
+        .filter(F.col("feature_id") != F.col("query_id"))
+        .withColumn("dist",
+                    F.expr(geom.haversine_sql("qlon", "qlat", "lon", "lat")))
+    )
+    w = Window.partitionBy("query_id").orderBy("dist", "feature_id")
+    # persist: topk is tiny (|queries| * k rows) but sits downstream of the
+    # expensive candidates join, and is consumed twice (certificate + output)
+    # — without this the join lineage recomputes.
+    topk = cand.withColumn("rank", F.row_number().over(w)) \
+               .filter(F.col("rank") <= k).persist()
+
+    # 4. certificate with res-dependent geometry (n = 2^res as a column)
+    deg = "(360.0 / pow(2.0, res))"
+    nf = "pow(2.0, res)"
+    west = f"(cx - {ring}) * {deg} - 180.0"
+    east = f"(cx + {ring} + 1) * {deg} - 180.0"
+    north_lat = f"degrees(atan(sinh(pi() * (1.0 - 2.0 * (cy - {ring}) / {nf}))))"
+    south_lat = f"degrees(atan(sinh(pi() * (1.0 - 2.0 * (cy + {ring} + 1) / {nf}))))"
+    coslat = "cos(radians(qlat))"
+    m_per_deg = f"(radians(1.0) * {EARTH_R})"
+    bound = (
+        f"0.95 * least("
+        f"  (qlon - ({west})) * {m_per_deg} * {coslat},"
+        f"  (({east}) - qlon) * {m_per_deg} * {coslat},"
+        f"  case when cy - {ring} <= 0 then cast('Infinity' as double)"
+        f"       else (({north_lat}) - qlat) * {m_per_deg} end,"
+        f"  case when cy + {ring} + 1 >= {nf} then cast('Infinity' as double)"
+        f"       else (qlat - ({south_lat})) * {m_per_deg} end)"
+    )
+    per_q = topk.groupBy("query_id", "qlat", "qlon", "res", "cx", "cy").agg(
+        F.count("*").alias("n_cand"), F.max("dist").alias("kth_dist"),
+    ).withColumn("bound_m", F.expr(bound))
+    certified = per_q.filter(
+        (F.col("n_cand") >= k) & (F.col("kth_dist") <= F.col("bound_m"))
+    ).select("query_id")
+
+    exact_part = topk.join(F.broadcast(certified), "query_id") \
+                     .select("query_id", "feature_id", "dist", "rank")
+
+    failed = queries.join(F.broadcast(certified), "query_id", "left_anti") \
+                    .select("query_id", "qlon", "qlat")
+    brute = (
+        points.join(F.broadcast(failed),
+                    F.col("feature_id") != F.col("query_id"))
+        .withColumn("dist",
+                    F.expr(geom.haversine_sql("qlon", "qlat", "lon", "lat")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "feature_id", "dist", "rank")
+    )
+    return exact_part.unionByName(brute)

@@ -1,0 +1,383 @@
+"""Mapbox-Vector-Tile (MVT) encoding as a grouped Arrow operator — the
+engine's replacement for tippecanoe's tile serializer (reference invokes it
+at src/cloudtile/geofile.py:224-234; `no-tile-compression` default keeps
+tiles as raw protobuf, reference tippecanoe.yaml:112).
+
+The MVT wire format is public (Mapbox vector-tile spec 2.1): protobuf with
+varint/zigzag geometry commands (MoveTo=1/LineTo=2/ClosePath=7), layer
+extent 4096. A minimal pure-Python protobuf writer/reader lives here — no
+external deps — and runs per-TILE inside ``applyInPandas``: one Arrow batch
+per (z, x, y) group, features sorted by feature_id before encoding so the
+byte output is deterministic at any parallelism (the property the two-
+cluster-size equivalence check needs).
+
+Geometry semantics folded into the encoder (tippecanoe option parity):
+- clipping to tile bounds + buffer        (yaml:81-84, default buffer=5)
+- Douglas-Peucker simplification          (yaml:70, default tolerance 10,
+  in tile units, applied to lines/polygons)
+- tiny-polygon reduction                  (yaml:75-76: polygons under the
+  size threshold become their representative point)
+- per-tile feature cap by ascending id    (yaml:107)
+- maximum-tile-bytes drop order           (yaml:106: encode stops adding
+  features once the byte budget is hit)
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import geom, tiles
+from ..settings import TilingSettings
+from .pyramid import assign_xy, explode_zooms
+
+EXTENT = 4096
+_MOVETO, _LINETO, _CLOSEPATH = 1, 2, 7
+GEOM_TYPE_CODE = {"point": 1, "linestring": 2, "polygon": 3}
+
+
+# ---------------------------------------------------------------------------
+# minimal protobuf primitives (public wire format)
+# ---------------------------------------------------------------------------
+
+def _varint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _zigzag(v: int) -> int:
+    return (v << 1) ^ (v >> 63)
+
+
+def _unzigzag(v: int) -> int:
+    return (v >> 1) ^ -(v & 1)
+
+
+def _tag(field: int, wire: int) -> bytes:
+    return _varint((field << 3) | wire)
+
+
+def _len_field(field: int, payload: bytes) -> bytes:
+    return _tag(field, 2) + _varint(len(payload)) + payload
+
+
+def _geometry_commands(gtype: int, parts: Iterable[np.ndarray]) -> bytes:
+    """Encode geometry command stream (deltas are zigzag varints)."""
+    out = bytearray()
+    cx = cy = 0
+    for coords in parts:
+        coords = np.asarray(coords, dtype=np.int64)
+        n = len(coords)
+        if n == 0:
+            continue
+        closed = gtype == 3
+        if closed and n > 1 and (coords[0] == coords[-1]).all():
+            coords = coords[:-1]
+            n -= 1
+        out += _varint((1 << 3) | _MOVETO)
+        out += _varint(_zigzag(int(coords[0, 0] - cx)))
+        out += _varint(_zigzag(int(coords[0, 1] - cy)))
+        cx, cy = int(coords[0, 0]), int(coords[0, 1])
+        if gtype == 1:
+            continue
+        if n > 1:
+            out += _varint(((n - 1) << 3) | _LINETO)
+            for i in range(1, n):
+                out += _varint(_zigzag(int(coords[i, 0] - cx)))
+                out += _varint(_zigzag(int(coords[i, 1] - cy)))
+                cx, cy = int(coords[i, 0]), int(coords[i, 1])
+        if closed:
+            out += _varint((1 << 3) | _CLOSEPATH)
+    return bytes(out)
+
+
+def encode_feature(fid: int, gtype: int, parts: Iterable[np.ndarray],
+                   tag_ids: list[int]) -> bytes:
+    body = bytearray()
+    body += _tag(1, 0) + _varint(fid)                       # id
+    if tag_ids:
+        tagpay = b"".join(_varint(t) for t in tag_ids)
+        body += _len_field(2, tagpay)                       # tags
+    body += _tag(3, 0) + _varint(gtype)                     # type
+    body += _len_field(4, _geometry_commands(gtype, parts)) # geometry
+    return _len_field(2, bytes(body))                       # Layer.features
+
+
+def encode_layer(name: str, feature_blobs: list[bytes],
+                 keys: list[str], values: list[str]) -> bytes:
+    body = bytearray()
+    body += _tag(15, 0) + _varint(2)                        # version
+    body += _len_field(1, name.encode())                    # name
+    for fb in feature_blobs:
+        body += fb
+    for k in keys:
+        body += _len_field(3, k.encode())
+    for v in values:
+        # Value message: string_value field 1
+        body += _len_field(4, _len_field(1, v.encode()))
+    body += _tag(5, 0) + _varint(EXTENT)                    # extent
+    return _len_field(3, bytes(body))                       # Tile.layers
+
+
+# ---------------------------------------------------------------------------
+# decoder (for tests / fixture parity)
+# ---------------------------------------------------------------------------
+
+def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = v = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        v |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return v, pos
+        shift += 7
+
+
+def decode_tile(buf: bytes) -> dict:
+    """Parse one tile -> {layer_name, extent, features:[{id,type,coords}]}."""
+    pos = 0
+    out: dict = {}
+    while pos < len(buf):
+        key, pos = _read_varint(buf, pos)
+        field, wire = key >> 3, key & 7
+        assert field == 3 and wire == 2, "only Tile.layers expected"
+        ln, pos = _read_varint(buf, pos)
+        out = _decode_layer(buf[pos:pos + ln])
+        pos += ln
+    return out
+
+
+def _decode_layer(buf: bytes) -> dict:
+    pos = 0
+    layer: dict = {"features": [], "keys": [], "values": []}
+    while pos < len(buf):
+        key, pos = _read_varint(buf, pos)
+        field, wire = key >> 3, key & 7
+        if wire == 0:
+            v, pos = _read_varint(buf, pos)
+            if field == 15:
+                layer["version"] = v
+            elif field == 5:
+                layer["extent"] = v
+        else:
+            ln, pos = _read_varint(buf, pos)
+            payload = buf[pos:pos + ln]
+            pos += ln
+            if field == 1:
+                layer["name"] = payload.decode()
+            elif field == 2:
+                layer["features"].append(_decode_feature(payload))
+            elif field == 3:
+                layer["keys"].append(payload.decode())
+            elif field == 4:
+                layer["values"].append(payload)
+    return layer
+
+
+def _decode_feature(buf: bytes) -> dict:
+    pos = 0
+    f: dict = {}
+    while pos < len(buf):
+        key, pos = _read_varint(buf, pos)
+        field, wire = key >> 3, key & 7
+        if wire == 0:
+            v, pos = _read_varint(buf, pos)
+            if field == 1:
+                f["id"] = v
+            elif field == 3:
+                f["type"] = v
+        else:
+            ln, pos = _read_varint(buf, pos)
+            payload = buf[pos:pos + ln]
+            pos += ln
+            if field == 4:
+                f["geometry"] = _decode_geometry(payload)
+            elif field == 2:
+                f["tags"] = _decode_packed(payload)
+    return f
+
+
+def _decode_packed(buf: bytes) -> list[int]:
+    pos, out = 0, []
+    while pos < len(buf):
+        v, pos = _read_varint(buf, pos)
+        out.append(v)
+    return out
+
+
+def _decode_geometry(buf: bytes) -> list[list[tuple[int, int]]]:
+    pos = 0
+    cx = cy = 0
+    parts: list[list[tuple[int, int]]] = []
+    cur: list[tuple[int, int]] = []
+    while pos < len(buf):
+        cmd, pos = _read_varint(buf, pos)
+        op, count = cmd & 7, cmd >> 3
+        if op == _MOVETO:
+            for _ in range(count):
+                dx, pos = _read_varint(buf, pos)
+                dy, pos = _read_varint(buf, pos)
+                cx += _unzigzag(dx)
+                cy += _unzigzag(dy)
+                if cur:
+                    parts.append(cur)
+                cur = [(cx, cy)]
+        elif op == _LINETO:
+            for _ in range(count):
+                dx, pos = _read_varint(buf, pos)
+                dy, pos = _read_varint(buf, pos)
+                cx += _unzigzag(dx)
+                cy += _unzigzag(dy)
+                cur.append((cx, cy))
+        elif op == _CLOSEPATH:
+            pass
+    if cur:
+        parts.append(cur)
+    return parts
+
+
+# ---------------------------------------------------------------------------
+# the Spark operator
+# ---------------------------------------------------------------------------
+
+TILE_SCHEMA = T.StructType([
+    T.StructField("z", T.IntegerType()),
+    T.StructField("x", T.LongType()),
+    T.StructField("y", T.LongType()),
+    T.StructField("feature_count", T.LongType()),
+    T.StructField("mvt", T.BinaryType()),
+])
+
+
+def encode_point_tiles(
+    features: DataFrame,
+    minz: int,
+    maxz: int,
+    settings: TilingSettings | None = None,
+    layer: str = "features",
+) -> DataFrame:
+    """Point features -> MVT tiles for z in [minz, maxz].
+
+    Plan: explode zooms (narrow) -> tile xy (codegen) -> groupBy(z,x,y)
+    applyInPandas encoder (one Arrow batch per tile). Deterministic: encoder
+    sorts by feature_id; cap and byte budget drop the HIGHEST ids first.
+    """
+    settings = settings if settings is not None else TilingSettings()
+    cap = settings["maximum-tile-features"]
+    max_bytes = settings["maximum-tile-bytes"]
+
+    df = assign_xy(explode_zooms(
+        features.select("feature_id", "lon", "lat"), minz, maxz))
+
+    def enc(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        z, x, y = int(key[0]), int(key[1]), int(key[2])
+        pdf = pdf.sort_values("feature_id").head(cap)
+        px, py = tiles.tile_local_coords(
+            pdf.lon.values, pdf.lat.values, z, x, y)
+        blobs = []
+        total = 0
+        n = 0
+        for fid, ix, iy in zip(pdf.feature_id.values, px, py):
+            fb = encode_feature(int(fid), 1, [np.array([[ix, iy]])], [])
+            if total + len(fb) > max_bytes:
+                break
+            blobs.append(fb)
+            total += len(fb)
+            n += 1
+        tile = encode_layer(layer, blobs, [], [])
+        return pd.DataFrame(
+            [{"z": z, "x": x, "y": y, "feature_count": n, "mvt": tile}]
+        )
+
+    return df.groupBy("z", "x", "y").applyInPandas(enc, schema=TILE_SCHEMA)
+
+
+def encode_geom_tile_batch(
+    z: int, x: int, y: int,
+    feats: list[tuple[int, str, bytes]],
+    settings: TilingSettings,
+    layer: str = "features",
+) -> tuple[bytes, int]:
+    """Encode one tile of WKB geometries (point/linestring/polygon) with
+    clip + simplify + tiny-polygon reduction. Used by the generic geometry
+    sink and unit tests (driver-side twin of the grouped UDF body)."""
+    cap = settings["maximum-tile-features"]
+    max_bytes = settings["maximum-tile-bytes"]
+    simp = 0 if settings.get("no-line-simplification") else settings["simplification"]
+    buffer_px = settings.get("buffer") or 5
+    no_clip = bool(settings.get("no-clipping"))
+    tiny = settings.get("tiny-polygon-size") or 9  # spec default ~3x3 px
+
+    lon_min, lat_min, lon_max, lat_max = (
+        float(v[0]) for v in tiles.tile_bounds(
+            z, np.array([x]), np.array([y]))
+    )
+    blobs: list[bytes] = []
+    total = n = 0
+    for fid, gtype_s, wkb in sorted(feats)[:cap]:
+        gcode = GEOM_TYPE_CODE[gtype_s]
+        _, coords = geom.wkb_parse(wkb)
+        px, py = tiles.tile_local_coords(coords[:, 0], coords[:, 1], z, x, y)
+        pts = np.c_[px, py].astype(np.float64)
+        lo, hi = -buffer_px, EXTENT + buffer_px
+        if gcode == 1:
+            if not no_clip and not (lo <= pts[0, 0] <= hi and lo <= pts[0, 1] <= hi):
+                continue
+            parts = [pts.astype(np.int64)]
+        elif gcode == 2:
+            if simp:
+                pts = geom.douglas_peucker(pts, float(simp))
+            parts_f = ([pts] if no_clip
+                       else geom.clip_line_to_rect(pts, lo, lo, hi, hi))
+            parts = [p.round().astype(np.int64) for p in parts_f]
+            parts = [p for p in parts if len(p) >= 2]
+        else:
+            # tiny-polygon reduction FIRST (before simplification, which
+            # would legally collapse a sub-pixel ring to nothing): a ring
+            # under the size threshold becomes its representative point
+            raw_area = abs(geom.shoelace_area(pts))
+            if raw_area < tiny:
+                c = pts.mean(axis=0)
+                if no_clip or (lo <= c[0] <= hi and lo <= c[1] <= hi):
+                    gcode = 1
+                    parts = [np.round(c)[None, :].astype(np.int64)]
+                else:
+                    continue
+            else:
+                if simp and len(pts) > 4:
+                    simplified = geom.douglas_peucker(pts, float(simp))
+                    # ring-survival guard: keep the original if DP collapsed
+                    # the ring below a valid polygon
+                    if len(simplified) >= 4:
+                        pts = simplified
+                ring = (pts if no_clip
+                        else geom.clip_ring_to_rect(pts, lo, lo, hi, hi))
+                if len(ring) < 3:
+                    continue
+                area = abs(geom.shoelace_area(ring))
+                if area < tiny:
+                    gcode = 1
+                    parts = [np.round(ring.mean(axis=0))[None, :].astype(np.int64)]
+                else:
+                    parts = [np.round(ring).astype(np.int64)]
+        fb = encode_feature(int(fid), gcode, parts, [])
+        if total + len(fb) > max_bytes:
+            break
+        blobs.append(fb)
+        total += len(fb)
+        n += 1
+    return encode_layer(layer, blobs, [], []), n

@@ -107,6 +107,65 @@ def tile_summary(df: DataFrame, with_ids: bool = True) -> DataFrame:
     return out
 
 
+def capped_tile_summary(
+    df: DataFrame,
+    cap: int,
+    with_ids: bool = True,
+    salt_buckets: int = DEFAULT_SALT_BUCKETS,
+) -> DataFrame:
+    """Aggregation-only equivalent of topk_per_tile + tile_summary.
+
+    Semantics: feature_count = min(total, cap); feature_ids = the ``cap``
+    smallest feature_ids in the tile. Identical output to the window path
+    (asserted in tests), but the physical plan is two HASH AGGREGATES with
+    map-side partial combine instead of two sort-shuffles:
+
+      phase 1: groupBy(z,x,y,salt)  -> per-salt sorted id prefix (<= cap)
+      phase 2: groupBy(z,x,y)       -> merge prefixes, slice to cap
+
+    Why this matters at 100 TB: a window top-k must SORT every row of the
+    hot tile (z0 = the whole planet) on one reducer chain; here the map side
+    pre-truncates to cap ids per (tile, salt) before anything shuffles, so
+    shuffle bytes are O(tiles * salt * cap), independent of input rows.
+    """
+    if not with_ids:
+        # counts only: min(total, cap) needs no ids at all — one hash agg
+        # whose shuffle is one row per tile after map-side combine.
+        return (
+            df.groupBy("z", "x", "y")
+            .agg(F.count("*").alias("_total"))
+            .select(
+                "z", "x", "y",
+                F.least(F.col("_total"), F.lit(cap).cast("long"))
+                 .alias("feature_count"),
+            )
+        )
+    salt = (F.col("feature_id") % salt_buckets).cast("int")
+    part = (
+        df.groupBy("z", "x", "y", salt.alias("_salt"))
+        .agg(
+            F.count("*").alias("_n"),
+            F.slice(F.sort_array(F.collect_list("feature_id")), 1, cap)
+             .alias("_ids"),
+        )
+    )
+    merged = part.groupBy("z", "x", "y").agg(
+        F.sum("_n").alias("_total"),
+        F.slice(F.array_sort(F.flatten(F.collect_list("_ids"))), 1, cap)
+         .alias("feature_ids"),
+    )
+    out = merged.withColumn(
+        "feature_count", F.least(F.col("_total"), F.lit(cap).cast("long"))
+    )
+    if with_ids:
+        return out.select(
+            "z", "x", "y", "feature_count", "feature_ids",
+            F.sha2(F.concat_ws(",", F.col("feature_ids")), 256)
+             .alias("checksum"),
+        )
+    return out.select("z", "x", "y", "feature_count")
+
+
 def build_pyramid(
     features: DataFrame,
     settings: Optional[TilingSettings] = None,
@@ -136,8 +195,7 @@ def build_pyramid(
         hi = guess_max_zoom(features, settings["maximum-tile-features"])
     cap = settings["maximum-tile-features"]
     df = assign_xy(explode_zooms(features, lo, hi))
-    df = topk_per_tile(df, cap)
-    return tile_summary(df, with_ids=with_ids)
+    return capped_tile_summary(df, cap, with_ids=with_ids)
 
 
 def guess_max_zoom(

@@ -215,8 +215,8 @@ def _zone_sql(alias: str = "nation") -> str:
     from .sources.pages import _u  # deterministic uniform builder
 
     key = f"cast({alias}.n_nationkey as bigint)"
-    cx = f"(-170.0 + {_u(key, 21)} * 340.0)"
-    cy = f"(-50.0 + {_u(key, 22)} * 100.0)"
+    cx = f"(-170.0 + {_u(key, 6)} * 340.0)"
+    cy = f"(-50.0 + {_u(key, 7)} * 100.0)"
     return (
         f"SELECT {alias}.n_nationkey AS zone_id, "
         f"{cx} - 12.0 AS xmin, {cx} + 12.0 AS xmax, "
@@ -283,6 +283,80 @@ def _knn_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pip_poly_oracle() -> str:
+    from .sources.zones import synth_zones, zone_predicate_sql
+
+    zones = synth_zones(25)
+    arms = " UNION ALL ".join(
+        f"SELECT g.doc_id, {int(r.zone_id)} AS zone_id FROM geo g "
+        f"WHERE {zone_predicate_sql(r.ring, 'g.lon', 'g.lat')}"
+        for _, r in zones.iterrows()
+    )
+    return (
+        f"WITH {_GEO_CTE}, m AS ({arms}) "
+        "SELECT zone_id, count(*) AS n_points, min(doc_id) AS min_fid, "
+        "max(doc_id) AS max_fid FROM m GROUP BY zone_id"
+    )
+
+
+@_register(
+    "pip_poly_join",
+    _pip_poly_oracle(),
+    doc="exact point-in-polygon join: broadcast bbox prefilter + vectorized "
+        "ray-cast refine in Arrow batches (operators/joins.pip_join); the "
+        "oracle checks it independently via convex half-plane tests",
+)
+def _pip_poly_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.joins import pip_join
+    from .sources.zones import synth_zones
+
+    pts = docs_geo(spark, sf_dir).withColumnRenamed("doc_id", "feature_id")
+    res = pip_join(pts, synth_zones(25))
+    return res.groupBy("zone_id").agg(
+        F.count("*").alias("n_points"),
+        F.min("feature_id").alias("min_fid"),
+        F.max("feature_id").alias("max_fid"),
+    )
+
+
+_KNN_BRUTE_ORACLE = f"""
+    WITH {_GEO_CTE},
+    q AS (SELECT doc_id AS query_id, lon AS qlon, lat AS qlat
+          FROM geo WHERE doc_id % 83 = 0),
+    d AS (SELECT q.query_id, g.doc_id AS neighbor_id,
+                 {geom.haversine_sql('q.qlon', 'q.qlat', 'g.lon', 'g.lat')} AS dist
+          FROM q CROSS JOIN geo g WHERE g.doc_id <> q.query_id),
+    r AS (SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY dist, neighbor_id) AS rank
+          FROM d)
+    SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5
+"""
+
+
+@_register(
+    "knn_cell_k5",
+    _KNN_BRUTE_ORACLE,
+    doc="scale-path kNN: cell k-ring expansion join with per-query exactness "
+        "certificate + brute-force fallback (operators/joins.knn_join); "
+        "oracle is plain brute force — the operator must equal it exactly",
+)
+def _knn_cell_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.joins import knn_join
+
+    g = docs_geo(spark, sf_dir)
+    pts = g.withColumnRenamed("doc_id", "feature_id")
+    qs = (
+        g.filter(F.col("doc_id") % 83 == 0)
+        .select(F.col("doc_id").alias("query_id"),
+                F.col("lon").alias("qlon"), F.col("lat").alias("qlat"))
+    )
+    out = knn_join(pts, qs, k=5, res=6, ring=1)
+    return out.select(
+        "query_id", F.col("feature_id").alias("neighbor_id"), "rank"
+    )
+
+
 # ===========================================================================
 # Web-scale text ops over `documents` (training-data pipeline operators)
 # ===========================================================================
@@ -296,6 +370,45 @@ _shared_sql(
     doc="exact dedup: content-hash groupBy (the reference's md5 identity, "
         "s3.py:211-227, at row granularity)",
 )
+
+
+def _dedup_query(name: str, builder, doc: str, **kw) -> None:
+    """Register a dedup pipeline generated for both dialects from the same
+    builder (operators/dedup.py)."""
+    from .operators import dedup as dd
+
+    spark_sql = builder(dd.SPARK, dd.PLANTED_CORPUS_CTE, **kw)
+    duck_sql = builder(dd.DUCK, dd.PLANTED_CORPUS_CTE, **kw)
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        load_views(spark, sf_dir)
+        return spark.sql(spark_sql)
+
+    REGISTRY[name] = Query(name, fn, duck_sql, doc)
+
+
+def _init_dedup_queries() -> None:
+    from .operators import dedup as dd
+
+    _dedup_query(
+        "dedup_minhash_lsh", dd.minhash_lsh_pairs_sql,
+        "MinHash (16 perms) + LSH (4 bands x 4 rows) near-dup pairs over a "
+        "corpus with planted near-duplicates; exact-Jaccard verification on "
+        "band-colliding candidates; hot buckets capped",
+    )
+    _dedup_query(
+        "dedup_simhash", dd.simhash_pairs_sql,
+        "32-bit SimHash near-dup pairs: per-bit majority sketch, 8-bit band "
+        "blocking, exact hamming verify (bit_count(xor))",
+    )
+    _dedup_query(
+        "dedup_ngram_jaccard", dd.ngram_jaccard_pairs_sql,
+        "exact 3-gram Jaccard pairs with rare-shingle inverted-index "
+        "prefilter (bounded candidates, no cross-join)",
+    )
+
+
+_init_dedup_queries()
 
 
 @_register(
@@ -436,6 +549,27 @@ def _ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 10
         """
     )
+
+
+def _init_ann_lsh() -> None:
+    from .operators.similarity import ann_lsh_topk_sql
+
+    spark_sql = ann_lsh_topk_sql("spark")
+    duck_sql = ann_lsh_topk_sql("duck")
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        load_views(spark, sf_dir)
+        return spark.sql(spark_sql)
+
+    REGISTRY["ann_lsh_topk"] = Query(
+        "ann_lsh_topk", fn, duck_sql,
+        "LSH-bucketed ANN: 8 random-hyperplane sign bits -> bucket equi-join "
+        "-> exact cosine rerank (the scale path; recall vs brute force "
+        "measured in tests)",
+    )
+
+
+_init_ann_lsh()
 
 
 # ===========================================================================

@@ -32,21 +32,30 @@ HOTSPOTS = [
 ]
 LANGS = ["en", "es", "fr", "de", "pt"]
 
-# splitmix-style multiplicative constants for deterministic pseudo-uniforms
-_A = 2654435761  # Knuth multiplicative hash constant
 _M = 1 << 32
+# Per-salt Weyl-sequence multipliers: frac(sqrt(prime)) scaled to 2^32, made
+# odd. Each salt MUST get a different multiplier (not just a different
+# offset): same-multiplier sequences are identical up to a tiny shift, which
+# catastrophically correlates the "is clustered" coin with the "uniform
+# coordinate" draw (all uniform points end up in a narrow band).
+_MULTS = [
+    int((p ** 0.5 % 1) * _M) | 1
+    for p in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37)
+]
 
 
 def _u(i_expr: str, salt: int) -> str:
     """Deterministic pseudo-uniform in [0,1) from a bigint SQL expr.
 
     Pure integer arithmetic -> identical at any parallelism and in DuckDB.
+    Valid for inputs < 2^31 (no bigint overflow).
     """
     # divide by a DOUBLE cast, not a decimal literal: Spark parses `x.0`
     # literals as DECIMAL and would do decimal division (truncated scale),
     # while DuckDB uses doubles — cast keeps both engines in float64.
+    mult = _MULTS[salt % len(_MULTS)]
     return (
-        f"(((({i_expr}) * {_A} + {salt * 40503 + 12345}) % {_M})"
+        f"(((({i_expr}) * {mult} + {salt * 40503 + 12345}) % {_M})"
         f" / cast({_M} as double))"
     )
 

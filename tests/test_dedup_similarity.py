@@ -1,0 +1,63 @@
+"""Dedup + similarity semantics tests: planted near-dups recovered, LSH
+recall measured against exact baselines."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cloudtile_spark.queries import REGISTRY
+from tests.conftest import SF_DIR
+
+
+def _rows(spark, name):
+    return REGISTRY[name].spark_fn(spark, SF_DIR).collect()
+
+
+@pytest.fixture(scope="module")
+def exact_pairs(spark):
+    return {(r.doc_a, r.doc_b) for r in _rows(spark, "dedup_ngram_jaccard")}
+
+
+def test_planted_pairs_found_exactly(spark, exact_pairs):
+    """Every planted near-dup (doc, doc+10^6) must appear in the exact
+    n-gram Jaccard output (docs with >= 3 tokens produce stable shingles)."""
+    planted = {p for p in exact_pairs if p[1] - p[0] == 1_000_000}
+    assert len(planted) > 100  # sf0.001: 500 docs, every 3rd planted
+
+
+def test_minhash_lsh_recall_vs_exact(spark, exact_pairs):
+    lsh = {(r.doc_a, r.doc_b) for r in _rows(spark, "dedup_minhash_lsh")}
+    # LSH must not hallucinate: every reported pair is verified exact-Jaccard
+    # >= threshold, so it must be a subset of the exact-pair set computed at
+    # the same threshold
+    assert lsh <= exact_pairs
+    recall = len(lsh & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.9, f"LSH recall {recall:.2f}"
+
+
+def test_simhash_pairs_catch_planted(spark):
+    pairs = {(r.doc_a, r.doc_b) for r in _rows(spark, "dedup_simhash")}
+    planted_found = sum(1 for a, b in pairs if b - a == 1_000_000)
+    assert planted_found > 100
+
+
+def test_ann_lsh_subset_and_recall(spark):
+    brute = {}
+    for r in _rows(spark, "ann_cosine_topk"):
+        brute.setdefault(r.query_id, set()).add(r.neighbor_id)
+    lsh = {}
+    for r in _rows(spark, "ann_lsh_topk"):
+        lsh.setdefault(r.query_id, set()).add(r.neighbor_id)
+    # recall@10 of the multi-table LSH vs brute force (4 tables x 4
+    # planes; random 64-dim embeddings are near-orthogonal, so this is a
+    # hard instance — floor is deliberately modest and recall is measured,
+    # not guessed)
+    hits = sum(len(lsh.get(q, set()) & ns) for q, ns in brute.items())
+    total = sum(len(ns) for ns in brute.values())
+    assert hits / total >= 0.2, f"ANN-LSH recall {hits/total:.2f}"
+
+
+def test_dedup_exact_keeps_min_doc_id(spark):
+    rows = _rows(spark, "dedup_exact")
+    assert all(r.keeper_id >= 0 and r.n >= 1 for r in rows)
+    # unique hash per group
+    assert len({r.text_md5 for r in rows}) == len(rows)

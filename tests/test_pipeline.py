@@ -12,6 +12,7 @@ from cloudtile_spark import tiles
 from cloudtile_spark.operators.extract import extract_features, extracted_text
 from cloudtile_spark.operators.pyramid import (
     build_pyramid, guess_max_zoom, topk_per_tile, assign_xy, explode_zooms,
+    tile_summary,
 )
 from cloudtile_spark.settings import TilingSettings
 from cloudtile_spark.sources.pages import synth_pages
@@ -134,3 +135,16 @@ def test_guess_max_zoom(features):
 def test_missing_zooms_raise_typeerror(features):
     with pytest.raises(TypeError):
         build_pyramid(features)
+
+
+def test_capped_summary_equals_window_path(spark, features):
+    """Aggregation-only capped summary == window top-k + summary (the two
+    physical strategies must agree bit-for-bit)."""
+    from cloudtile_spark.operators.pyramid import capped_tile_summary
+
+    df = assign_xy(explode_zooms(features, 0, 4))
+    agg = capped_tile_summary(df, 30)
+    win = tile_summary(topk_per_tile(df, 30))
+    a = sorted(map(tuple, agg.select("z", "x", "y", "feature_count", "checksum").collect()))
+    b = sorted(map(tuple, win.select("z", "x", "y", "feature_count", "checksum").collect()))
+    assert a == b
