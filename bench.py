@@ -53,18 +53,26 @@ def bench_pyramid(spark, cores):
     return tiles_df.count()
 
 
+
+def det_zones(spark, n=200):
+    """Deterministic zone bboxes: pure integer-arithmetic uniforms over id —
+    F.rand(seed) is NOT stable across partition counts, which would change
+    the join input between parallelism levels."""
+    from cloudtile_spark.sources.pages import _u
+    return spark.range(n).selectExpr(
+        "id AS zone_id",
+        f"-170.0 + {_u('id', 6)} * 340.0 AS cx",
+        f"-50.0 + {_u('id', 7)} * 100.0 AS cy",
+    ).selectExpr(
+        "zone_id", "cx - 12.0 AS xmin", "cx + 12.0 AS xmax",
+        "cy - 8.0 AS ymin", "cy + 8.0 AS ymax",
+    )
+
+
 def bench_pip(spark, cores):
     pts = synth_pages(spark, PAGES_N, partitions=cores * 2)
     feats = extract_features(pts.drop("page_id"))
-    zones = spark.range(200).select(
-        F.col("id").alias("zone_id"),
-        (F.rand(seed=7) * 320 - 170).alias("cx"),
-        (F.rand(seed=9) * 100 - 50).alias("cy"),
-    ).select(
-        "zone_id",
-        (F.col("cx") - 12).alias("xmin"), (F.col("cx") + 12).alias("xmax"),
-        (F.col("cy") - 8).alias("ymin"), (F.col("cy") + 8).alias("ymax"),
-    )
+    zones = det_zones(spark)
     joined = feats.join(
         F.broadcast(zones),
         (F.col("lon") >= F.col("xmin")) & (F.col("lon") < F.col("xmax"))

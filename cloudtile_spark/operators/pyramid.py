@@ -198,6 +198,41 @@ def build_pyramid(
     return capped_tile_summary(df, cap, with_ids=with_ids)
 
 
+def density_capped_summary(
+    features: DataFrame,
+    z: int,
+    cap: int,
+    density_res_offset: int = 4,
+) -> DataFrame:
+    """Per-tile cap with tippecanoe's densest-first drop order
+    (``coalesce-densest-as-needed`` / ``drop-densest-as-needed`` priority,
+    reference tippecanoe.yaml:55-62): when a tile exceeds the cap, features
+    in the DENSEST sub-areas are sacrificed first, preserving spatial
+    coverage — unlike the id-priority cap, which is order-biased.
+
+    density = feature count of the containing fine cell (z + offset); keep
+    order = (density ASC, feature_id ASC), deterministic at any parallelism.
+
+    Plan: one hash-agg for the density table (small: one row per non-empty
+    fine cell), broadcast-friendly join back, then window top-k per tile.
+    """
+    fine = assign_xy(
+        features.withColumn("z", F.lit(z + density_res_offset))
+    ).withColumnRenamed("x", "fx").withColumnRenamed("y", "fy").drop("z")
+    dens = fine.groupBy("fx", "fy").agg(F.count("*").alias("density"))
+    with_d = fine.join(dens, ["fx", "fy"]).drop("fx", "fy")
+    df = assign_xy(with_d.withColumn("z", F.lit(z)))
+    w = Window.partitionBy("z", "x", "y").orderBy("density", "feature_id")
+    kept = df.withColumn("_rn", F.row_number().over(w)) \
+             .filter(F.col("_rn") <= cap).drop("_rn")
+    return kept.groupBy("z", "x", "y").agg(
+        F.count("*").alias("feature_count"),
+        F.sort_array(F.collect_list("feature_id")).alias("feature_ids"),
+    ).withColumn(
+        "checksum", F.sha2(F.concat_ws(",", F.col("feature_ids")), 256)
+    )
+
+
 def guess_max_zoom(
     features: DataFrame, cap: int, z_lo: int = 0, z_hi: int = 14
 ) -> int:

@@ -1,0 +1,136 @@
+"""Raster <-> vector bridge: rasterize polygon zones into per-tile grids and
+vectorize grids back — grouped Arrow computation per tile partition
+(north-star: "raster<->vector rasterization as grouped applyInArrow over
+tile partitions").
+
+Grid convention: per (z, x, y) tile, a size x size uint8 mask, row 0 = tile
+top, pixel centers sampled (geom.rasterize_ring). Vectorize returns
+run-length rectangles in pixel space — exact inverse for cell-count parity
+(sum of rect areas == filled pixels), the FIXTURES.md §6 gate.
+
+Scale shape: the zone list is the small broadcast side (driver pandas ->
+UDF closure); the tile list comes from the zones' bbox tile-cover (pure
+driver math, zones are small); each tile renders independently in an Arrow
+batch -> embarrassingly parallel, no shuffle after the initial repartition.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from .. import geom, tiles
+
+GRID_SIZE = 256
+
+RASTER_SCHEMA = T.StructType([
+    T.StructField("z", T.IntegerType()),
+    T.StructField("x", T.LongType()),
+    T.StructField("y", T.LongType()),
+    T.StructField("zone_id", T.LongType()),
+    T.StructField("filled", T.LongType()),
+    T.StructField("grid", T.BinaryType()),
+])
+
+
+def zone_tile_cover(zones_pdf: pd.DataFrame, z: int) -> list[tuple[int, int, int]]:
+    """(zone_id, x, y) tile-cover of every zone bbox at zoom z (driver-side:
+    the zone table is the small dimension)."""
+    out = []
+    for _, r in zones_pdf.iterrows():
+        xmin, ymin, xmax, ymax = geom.polygon_bbox(r.ring)
+        for x, y in tiles.bbox_tile_cover(xmin, ymin, xmax, ymax, z):
+            out.append((int(r.zone_id), x, y))
+    return out
+
+
+def rasterize_zones(
+    spark: SparkSession, zones_pdf: pd.DataFrame, z: int,
+    size: int = GRID_SIZE,
+) -> DataFrame:
+    """One row per (tile, zone) with the zone's coverage mask in that tile."""
+    cover = zone_tile_cover(zones_pdf, z)
+    work = spark.createDataFrame(cover, "zone_id long, x long, y long") \
+        .repartition("x", "y")
+    rings = {int(r.zone_id): np.asarray(r.ring, dtype=np.float64)
+             for _, r in zones_pdf.iterrows()}
+
+    def render(batches):
+        for pdf in batches:
+            rows = []
+            for zone_id, x, y in zip(pdf.zone_id, pdf.x, pdf.y):
+                lon_min, lat_min, lon_max, lat_max = (
+                    float(v[0]) for v in tiles.tile_bounds(
+                        z, np.array([x]), np.array([y]))
+                )
+                grid = geom.rasterize_ring(
+                    rings[int(zone_id)], lon_min, lat_min, lon_max, lat_max,
+                    size=size,
+                )
+                filled = int(grid.sum())
+                if filled == 0:
+                    continue  # bbox cover over-approximates; skip empty
+                rows.append({
+                    "z": z, "x": int(x), "y": int(y),
+                    "zone_id": int(zone_id),
+                    "filled": filled, "grid": grid.tobytes(),
+                })
+            yield pd.DataFrame(
+                rows, columns=["z", "x", "y", "zone_id", "filled", "grid"]
+            )
+
+    return work.mapInPandas(render, schema=RASTER_SCHEMA)
+
+
+def vectorize_grid(grid: np.ndarray) -> list[tuple[int, int, int, int]]:
+    """Grid -> run-length rectangles (row, col_start, col_end_excl, height=1).
+
+    The exact inverse used for the cell-count parity gate; NumPy run-length
+    over each row (no Python per-pixel loop).
+    """
+    rects = []
+    for row in range(grid.shape[0]):
+        r = grid[row]
+        if not r.any():
+            continue
+        diff = np.diff(np.r_[0, r.astype(np.int8), 0])
+        starts = np.where(diff == 1)[0]
+        ends = np.where(diff == -1)[0]
+        for s, e in zip(starts, ends):
+            rects.append((row, int(s), int(e), 1))
+    return rects
+
+
+VECTORIZE_SCHEMA = T.StructType([
+    T.StructField("z", T.IntegerType()),
+    T.StructField("x", T.LongType()),
+    T.StructField("y", T.LongType()),
+    T.StructField("zone_id", T.LongType()),
+    T.StructField("n_rects", T.LongType()),
+    T.StructField("rect_area", T.LongType()),
+])
+
+
+def vectorize_tiles(raster_df: DataFrame, size: int = GRID_SIZE) -> DataFrame:
+    """Vectorize every grid back; rect_area must equal `filled` (parity)."""
+
+    def vec(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                grid = np.frombuffer(r.grid, dtype=np.uint8).reshape(size, size)
+                rects = vectorize_grid(grid)
+                rows.append({
+                    "z": int(r.z), "x": int(r.x), "y": int(r.y),
+                    "zone_id": int(r.zone_id),
+                    "n_rects": len(rects),
+                    "rect_area": int(sum(e - s for _, s, e, _ in rects)),
+                })
+            yield pd.DataFrame(
+                rows,
+                columns=["z", "x", "y", "zone_id", "n_rects", "rect_area"],
+            )
+
+    return raster_df.mapInPandas(vec, schema=VECTORIZE_SCHEMA)

@@ -206,6 +206,182 @@ _shared_sql(
 )
 
 
+_shared_sql(
+    "accumulate_attribute",
+    f"""
+    WITH {_GEO_CTE},
+    t AS (SELECT g.doc_id, d.n_chars, d.lang,
+                 {tiles.tile_x_sql('g.lon', '5')} AS x,
+                 {tiles.tile_y_sql('g.lat', '5')} AS y
+          FROM geo g JOIN documents d ON d.doc_id = g.doc_id)
+    SELECT x, y,
+           sum(n_chars) AS sum_chars,
+           max(n_chars) AS max_chars,
+           cast(sum(n_chars) as double) / cast(count(*) as double) AS mean_chars,
+           count(distinct lang) AS n_langs
+    FROM t GROUP BY x, y
+    """,
+    doc="accumulate-attribute on tile merge (B7: sum/mean/max semantics, "
+        "reference tippecanoe.yaml:40)",
+)
+
+_shared_sql(
+    "feature_filter",
+    f"""
+    WITH {_GEO_CTE}
+    SELECT g.doc_id, g.lon, g.lat
+    FROM geo g JOIN documents d ON d.doc_id = g.doc_id
+    WHERE d.lang = 'en' AND d.n_chars > 200 AND g.lat > 0.0
+    """,
+    doc="feature-filter + attribute include/exclude projection (B6, "
+        "tippecanoe.yaml:34-48): plain Catalyst filter/prune, pushed to scan",
+)
+
+_shared_sql(
+    "tile_stats_rollup",
+    f"""
+    WITH {_GEO_CTE},
+    t AS (SELECT doc_id,
+                 {tiles.tile_x_sql('lon', '3')} AS x,
+                 {tiles.tile_y_sql('lat', '3')} AS y
+          FROM geo)
+    SELECT x, y, count(*) AS n
+    FROM t GROUP BY ROLLUP (x, y)
+    """,
+    doc="tile-stats via ROLLUP grouping sets (tile-stats-* options, "
+        "tippecanoe.yaml:113-116)",
+)
+
+from .sources.pages import _u as _u_sql  # noqa: E402
+
+_shared_sql(
+    "drop_rate_sample",
+    f"""
+    WITH {_GEO_CTE},
+    zs AS (SELECT z FROM (VALUES (4), (5), (6), (7), (8)) AS v(z)),
+    t AS (SELECT g.doc_id, zs.z FROM geo g CROSS JOIN zs
+          WHERE {_u_sql('g.doc_id', 12)}
+                < pow(0.5, cast(8 - zs.z as double)))
+    SELECT z, count(*) AS kept, min(doc_id) AS min_fid, max(doc_id) AS max_fid
+    FROM t GROUP BY z
+    """,
+    doc="drop-rate family (B10, tippecanoe.yaml:49-60): deterministic "
+        "hash-based sampling, rate^(maxzoom - z) keep probability",
+)
+
+_shared_sql(
+    "one_tile_select",
+    f"""
+    WITH {_GEO_CTE},
+    t AS (SELECT doc_id,
+                 {tiles.tile_x_sql('lon', '8')} AS x,
+                 {tiles.tile_y_sql('lat', '8')} AS y
+          FROM geo)
+    SELECT doc_id, x, y FROM t
+    WHERE x = {tiles.tile_x_sql('2.3522', '8')}
+      AND y = {tiles.tile_y_sql('48.8566', '8')}
+    """,
+    doc="one-tile debugging op (tippecanoe.yaml:29): single-tile predicate, "
+        "prunable at the scan when tiles are partition keys",
+)
+
+_shared_sql(
+    "clip_bounding_box",
+    f"""
+    WITH {_GEO_CTE}
+    SELECT doc_id, lon, lat FROM geo
+    WHERE lon >= -10.0 AND lon < 40.0 AND lat >= -10.0 AND lat < 55.0
+    """,
+    doc="clip-bounding-box pre-filter (B16, tippecanoe.yaml:102)",
+)
+
+
+def _hilbert_sql(xor, z: int = 6) -> str:
+    """Hilbert-curve distance fully unrolled into SQL CTE levels (one per
+    bit, standard public xy->d rotation algorithm). ``xor(a,b)`` is the only
+    dialect difference."""
+    steps = []
+    for i, s in enumerate(1 << p for p in range(z - 1, -1, -1)):
+        prev = "h0" if i == 0 else f"h{i}"
+        rx = f"(case when (x & {s}) > 0 then 1 else 0 end)"
+        ry = f"(case when (y & {s}) > 0 then 1 else 0 end)"
+        flip = f"({ry} = 0 AND {rx} = 1)"
+        swap_x = (f"(case when {ry} = 0 then (case when {rx} = 1 "
+                  f"then {s} - 1 - y else y end) else x end)")
+        swap_y = (f"(case when {ry} = 0 then (case when {rx} = 1 "
+                  f"then {s} - 1 - x else x end) else y end)")
+        steps.append(
+            f"h{i + 1} AS (SELECT doc_id, "
+            f"{swap_x} AS x, {swap_y} AS y, "
+            f"d + {s} * {s} * {xor(f'(3 * {rx})', ry)} AS d FROM {prev})"
+        )
+    return ",\n".join(steps)
+
+
+@_register(
+    "coalesce_densest_cap",
+    f"""
+    WITH {_GEO_CTE},
+    f AS (SELECT doc_id,
+                 {tiles.tile_x_sql('lon', '4')} AS x,
+                 {tiles.tile_y_sql('lat', '4')} AS y,
+                 {tiles.tile_x_sql('lon', '8')} AS fx,
+                 {tiles.tile_y_sql('lat', '8')} AS fy
+          FROM geo),
+    d AS (SELECT fx, fy, count(*) AS density FROM f GROUP BY fx, fy),
+    r AS (SELECT f.doc_id, f.x, f.y, d.density,
+                 row_number() OVER (PARTITION BY f.x, f.y
+                                    ORDER BY d.density, f.doc_id) AS rn
+          FROM f JOIN d ON f.fx = d.fx AND f.fy = d.fy)
+    SELECT x, y, count(*) AS feature_count, max(doc_id) AS max_kept
+    FROM r WHERE rn <= 40 GROUP BY x, y
+    """,
+    doc="coalesce/drop-densest-as-needed priority (B9, the reference's "
+        "ACTIVE default, tippecanoe.yaml:62): over-cap tiles sacrifice "
+        "features from the densest sub-cells first, preserving coverage",
+)
+def _coalesce_densest_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.pyramid import density_capped_summary
+
+    feats = docs_geo(spark, sf_dir).withColumnRenamed("doc_id", "feature_id")
+    out = density_capped_summary(feats, z=4, cap=40)
+    return out.select(
+        "x", "y", "feature_count",
+        F.array_max("feature_ids").alias("max_kept"),
+    )
+
+
+def _init_hilbert() -> None:
+    z = 6
+    base = (
+        f"h0 AS (SELECT doc_id, {tiles.tile_x_sql('lon', str(z))} AS x, "
+        f"{tiles.tile_y_sql('lat', str(z))} AS y, cast(0 as bigint) AS d "
+        f"FROM geo WHERE doc_id % 4 = 0)"
+    )
+    tmpl = "WITH {geo},\n{base},\n{steps}\nSELECT doc_id, d AS hilbert_d FROM h{z}"
+    spark_sql = tmpl.format(
+        geo=_GEO_CTE, base=base, z=z,
+        steps=_hilbert_sql(lambda a, b: f"({a} ^ {b})", z),
+    )
+    duck_sql = tmpl.format(
+        geo=_GEO_CTE, base=base, z=z,
+        steps=_hilbert_sql(lambda a, b: f"xor(cast({a} as bigint), cast({b} as bigint))", z),
+    )
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        load_views(spark, sf_dir)
+        return spark.sql(spark_sql)
+
+    REGISTRY["hilbert_order"] = Query(
+        "hilbert_order", fn, duck_sql,
+        "Hilbert-curve ordering key (B13, tippecanoe.yaml:89) — the xy->d "
+        "rotation algorithm unrolled per bit into pure SQL, no UDF",
+    )
+
+
+_init_hilbert()
+
+
 # ===========================================================================
 # Spatial joins (SURVEY §2.C joins; north_rule PIP + kNN)
 # ===========================================================================
@@ -703,6 +879,136 @@ GROUP BY n.n_name
 """
 _shared_sql("tpch_q5", _TPCH_Q5_BODY,
             doc="5-way star join (dims broadcast; Catalyst join reorder)")
+
+
+# ===========================================================================
+# Multimodal, raster, MVT, adaptive kNN, pages-extraction pipeline
+# ===========================================================================
+
+def _media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary media table derived from documents (multimodal model:
+    payload binary + typed metadata; operators/multimodal.py)."""
+    load_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT doc_id AS media_id,
+               element_at(array('image', 'audio', 'video'),
+                          cast(doc_id % 3 + 1 as int)) AS kind,
+               encode(text, 'utf-8') AS payload,
+               named_struct('width', cast(doc_id % 640 + 16 as int),
+                            'height', cast(doc_id % 480 + 16 as int),
+                            'duration_ms', cast(doc_id % 90000 as int),
+                            'codec', 'fake/v1') AS meta
+        FROM documents
+        """
+    )
+
+
+@_register(
+    "media_stats",
+    "SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes, "
+    "sha256(text) AS payload_sha FROM documents",
+    doc="multimodal binary-column stats: byte length + content hash over an "
+        "opaque payload column (decode itself is stubbed — no codecs here)",
+)
+def _media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT doc_id AS media_id, octet_length(encode(text, 'utf-8')) "
+        "AS n_bytes, sha2(encode(text, 'utf-8'), 256) AS payload_sha "
+        "FROM documents"
+    )
+
+
+@_register(
+    "media_frame_sample",
+    """
+    SELECT doc_id AS media_id,
+           unnest(range(0, cast(doc_id % 90000 as bigint), 10000)) AS frame_ms
+    FROM documents WHERE doc_id % 3 = 2 AND doc_id % 90000 > 0
+    """,
+    doc="video frame sampling: explode over duration metadata (JVM-side); "
+        "per-frame decode is the stubbed kernel (operators/multimodal.py)",
+)
+def _media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import sample_video_frames
+
+    media = _media_from_documents(spark, sf_dir)
+    return sample_video_frames(media, every_ms=10_000)
+
+
+@_register(
+    "knn_adaptive_k5",
+    _KNN_BRUTE_ORACLE.replace("% 83", "% 61"),
+    doc="skew-aware exact kNN: per-query cell-resolution selection "
+        "(S2-coverer-style), single-plan, certificate + fallback — must "
+        "equal the brute-force oracle exactly",
+)
+def _knn_adaptive_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.joins import knn_join_adaptive
+
+    g = docs_geo(spark, sf_dir)
+    pts = g.withColumnRenamed("doc_id", "feature_id")
+    qs = (
+        g.filter(F.col("doc_id") % 61 == 0)
+        .select(F.col("doc_id").alias("query_id"),
+                F.col("lon").alias("qlon"), F.col("lat").alias("qlat"))
+    )
+    out = knn_join_adaptive(pts, qs, k=5, res_levels=(4, 6, 8))
+    return out.select(
+        "query_id", F.col("feature_id").alias("neighbor_id"), "rank"
+    )
+
+
+@_register(
+    "raster_zone_fill", None,
+    doc="raster<->vector: per-tile scanline rasterization of polygon zones "
+        "(z=7, 64px grids) — rows-only here; pixel-exact NumPy-oracle parity "
+        "and vectorize-back cell-count parity are pytest-gated "
+        "(tests/test_raster_multimodal_streaming.py)",
+)
+def _raster_zone_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.raster import rasterize_zones
+    from .sources.zones import synth_zones
+
+    load_views(spark, sf_dir)  # parity of table-loading behavior
+    return rasterize_zones(spark, synth_zones(10), z=7, size=64) \
+        .select("z", "x", "y", "zone_id", "filled")
+
+
+@_register(
+    "mvt_tiles", None,
+    doc="MVT protobuf tile encode (B14): grouped applyInPandas per (z,x,y), "
+        "deterministic bytes — rows-only here; wire-format roundtrip and "
+        "clip/simplify semantics are pytest-gated (tests/test_mvt.py)",
+)
+def _mvt_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.mvt import encode_point_tiles
+
+    feats = docs_geo(spark, sf_dir).withColumnRenamed("doc_id", "feature_id")
+    t = encode_point_tiles(feats, 0, 5)
+    return t.select("z", "x", "y", "feature_count",
+                    F.length("mvt").alias("n_bytes"))
+
+
+@_register(
+    "pages_extract", None,
+    doc="Common-Crawl-style pages pipeline: synthetic pages table -> "
+        "JVM-side geo-microdata extraction; output counts prove the "
+        "byte-identical-text invariant (n_text_mismatch must be 0)",
+)
+def _pages_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.extract import extract_features, extracted_text
+    from .sources.pages import synth_pages
+
+    pages = synth_pages(spark, 2000, partitions=8).drop("page_id")
+    feats = extract_features(pages)
+    inv = extracted_text(pages).filter(
+        F.col("extracted_text") != F.col("text"))
+    return spark.createDataFrame(
+        [(feats.count(), inv.count())],
+        "n_features long, n_text_mismatch long",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

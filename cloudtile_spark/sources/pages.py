@@ -40,7 +40,7 @@ _M = 1 << 32
 # coordinate" draw (all uniform points end up in a narrow band).
 _MULTS = [
     int((p ** 0.5 % 1) * _M) | 1
-    for p in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37)
+    for p in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53)
 ]
 
 

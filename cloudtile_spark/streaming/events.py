@@ -1,0 +1,90 @@
+"""Structured Streaming pipelines over the events table.
+
+The reference is batch-only (SURVEY.md §2.C: no streaming anywhere in
+cloudtile); this module adds the streaming surface a web-scale ingest
+pipeline needs, with semantics matching the oracle-checked batch twins in
+queries.py (events_hourly / events_sessionize):
+
+- hourly tumbling-window counts with a 2h watermark for late data
+- streaming dedup (dropDuplicatesWithinWatermark on event_id)
+- stateful per-user running counts via applyInPandasWithState
+
+Tested by streaming the events parquet through a file source into a memory
+sink and comparing against the batch aggregation (tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, path_dir: str) -> DataFrame:
+    """File-source stream over a directory of events parquet files."""
+    return spark.readStream.schema(EVENTS_SCHEMA).parquet(path_dir)
+
+
+def hourly_counts(stream: DataFrame) -> DataFrame:
+    """Tumbling 1h window per event_type; watermark bounds state for late
+    rows (the streaming twin of the oracle-checked events_hourly query)."""
+    return (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"),
+             F.sum((F.round(F.col("value") * 100, 0)).cast("bigint"))
+              .alias("value_cents"))
+        .select(
+            F.col("w.start").alias("hour"), "event_type", "n", "value_cents",
+        )
+    )
+
+
+def dedup_stream(stream: DataFrame) -> DataFrame:
+    """Exactly-once-per-event_id within the watermark horizon."""
+    return stream.withWatermark("ts", "2 hours") \
+        .dropDuplicatesWithinWatermark(["event_id"])
+
+
+_STATE_SCHEMA = T.StructType([T.StructField("n", T.LongType())])
+_OUT_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("events_so_far", T.LongType()),
+])
+
+
+def running_user_counts(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running event count via
+    applyInPandasWithState (the engine's arbitrary-state surface)."""
+
+    def fn(key, pdfs, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "events_so_far": [n]})
+
+    return (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            fn, outputStructType=_OUT_SCHEMA, stateStructType=_STATE_SCHEMA,
+            outputMode="update", timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, mode: str = "update"):
+    """Drive a streaming DF into a memory sink until idle; returns the query."""
+    q = (
+        stream_df.writeStream.format("memory").queryName(name)
+        .outputMode(mode).trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return q

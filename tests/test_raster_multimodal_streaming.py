@@ -1,0 +1,153 @@
+"""Raster<->vector parity, multimodal plumbing, streaming vs batch parity."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cloudtile_spark import geom, tiles
+from cloudtile_spark.operators import multimodal, raster
+from cloudtile_spark.sources.zones import synth_zones
+from tests.conftest import SF_DIR
+
+
+# ---------------------------------------------------------------- raster ---
+
+def test_rasterize_matches_numpy_oracle(spark):
+    zones = synth_zones(6)
+    df = raster.rasterize_zones(spark, zones, z=7, size=64).cache()
+    rows = df.collect()
+    assert len(rows) > 0
+    rings = {int(r.zone_id): r.ring for _, r in zones.iterrows()}
+    for r in rows[:20]:
+        lon_min, lat_min, lon_max, lat_max = (
+            float(v[0]) for v in tiles.tile_bounds(
+                r.z, np.array([r.x]), np.array([r.y]))
+        )
+        expect = geom.rasterize_ring(
+            rings[r.zone_id], lon_min, lat_min, lon_max, lat_max, size=64)
+        got = np.frombuffer(bytes(r.grid), dtype=np.uint8).reshape(64, 64)
+        assert np.array_equal(got, expect)
+        assert r.filled == expect.sum()
+
+
+def test_vectorize_cell_count_parity(spark):
+    zones = synth_zones(6)
+    ras = raster.rasterize_zones(spark, zones, z=7, size=64)
+    vec = raster.vectorize_tiles(ras, size=64)
+    joined = vec.join(ras.select("z", "x", "y", "zone_id", "filled"),
+                      ["z", "x", "y", "zone_id"])
+    bad = joined.filter(F.col("rect_area") != F.col("filled")).count()
+    assert bad == 0
+    assert joined.count() > 0
+
+
+def test_zone_area_conservation(spark):
+    """Sum of per-tile filled pixels ~ zone area (tiles partition the bbox,
+    pixel-center sampling -> small error)."""
+    zones = synth_zones(3)
+    z = 7
+    df = raster.rasterize_zones(spark, zones, z=z, size=64)
+    got = {r.zone_id: r.s for r in
+           df.groupBy("zone_id").agg(F.sum("filled").alias("s")).collect()}
+    for _, zo in zones.iterrows():
+        # pixel area at this latitude band (per-tile pixel sizes vary with
+        # mercator stretch; approximate with per-tile bounds)
+        tiles_df = df.filter(F.col("zone_id") == int(zo.zone_id)) \
+                     .select("x", "y", "filled").collect()
+        area_px = 0.0
+        for t in tiles_df:
+            lon_min, lat_min, lon_max, lat_max = (
+                float(v[0]) for v in tiles.tile_bounds(
+                    z, np.array([t.x]), np.array([t.y])))
+            px_area = ((lon_max - lon_min) / 64) * ((lat_max - lat_min) / 64)
+            area_px += t.filled * px_area
+        true_area = abs(geom.shoelace_area(zo.ring))
+        assert area_px == pytest.approx(true_area, rel=0.08)
+
+
+# ------------------------------------------------------------ multimodal ---
+
+def test_media_feature_extraction_plumbing(spark):
+    media = multimodal.synth_media(spark, 300, partitions=4)
+    feats = multimodal.extract_media_features(media)
+    rows = feats.collect()
+    assert len(rows) == 300
+    for r in rows[:5]:
+        assert len(r.features) == 16
+        assert all(0.0 <= v < 1.0 for v in r.features)
+    # deterministic across parallelism
+    rows2 = multimodal.extract_media_features(
+        multimodal.synth_media(spark, 300, partitions=13)).collect()
+    assert sorted(map(tuple, ((r.media_id, tuple(r.features)) for r in rows))) \
+        == sorted(map(tuple, ((r.media_id, tuple(r.features)) for r in rows2)))
+
+
+def test_video_frame_sampling(spark):
+    media = multimodal.synth_media(spark, 90, partitions=4)
+    frames = multimodal.sample_video_frames(media, every_ms=10_000)
+    pdf = frames.toPandas()
+    vids = media.filter("kind = 'video'").select("media_id", "meta.duration_ms") \
+        .toPandas().set_index("media_id")
+    for mid, grp in pdf.groupby("media_id"):
+        dur = int(vids.loc[mid].duration_ms)
+        expect = list(range(0, dur, 10_000))
+        assert sorted(grp.frame_ms.tolist()) == expect
+
+
+def test_real_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.require_codecs()
+
+
+# -------------------------------------------------------------- streaming ---
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    spark.read.parquet(f"{SF_DIR}/events.parquet").coalesce(2) \
+        .write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_streaming_hourly_equals_batch(spark, events_stream_dir):
+    from cloudtile_spark.streaming import events as st
+
+    stream = st.read_events_stream(spark, events_stream_dir)
+    st.run_to_memory(st.hourly_counts(stream), "hourly_t", mode="complete")
+    got = {
+        (r.hour, r.event_type): (r.n, r.value_cents)
+        for r in spark.sql("SELECT * FROM hourly_t").collect()
+    }
+    batch = spark.read.parquet(events_stream_dir).groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count("*").alias("n"),
+          F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+           .alias("value_cents"))
+    expect = {(r.hour, r.event_type): (r.n, r.value_cents)
+              for r in batch.collect()}
+    assert got == expect
+
+
+def test_streaming_dedup(spark, events_stream_dir):
+    from cloudtile_spark.streaming import events as st
+
+    stream = st.read_events_stream(spark, events_stream_dir)
+    st.run_to_memory(st.dedup_stream(stream), "dedup_t", mode="append")
+    n = spark.sql("SELECT count(DISTINCT event_id) c, count(*) n FROM dedup_t") \
+        .collect()[0]
+    assert n.c == n.n  # no duplicate event_ids survive
+
+
+def test_stateful_running_counts(spark, events_stream_dir):
+    from cloudtile_spark.streaming import events as st
+
+    stream = st.read_events_stream(spark, events_stream_dir)
+    st.run_to_memory(st.running_user_counts(stream), "running_t", mode="update")
+    got = {r.user_id: r.events_so_far
+           for r in spark.sql(
+               "SELECT user_id, max(events_so_far) AS events_so_far "
+               "FROM running_t GROUP BY user_id").collect()}
+    expect = {r.user_id: r.n for r in
+              spark.read.parquet(events_stream_dir)
+              .groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    assert got == expect

@@ -1,0 +1,173 @@
+"""Two-parallelism scaling evidence (BASELINE.json north_rule: >= 0.8
+throughput scaling efficiency between cluster sizes N and 4N).
+
+Sandbox proxy (BASELINE.md): the same deterministic job at local[8] and
+local[32] on identical input. Reports throughput at both levels, efficiency
+= (T_8 / T_32) / 4, and verifies the OUTPUT IS IDENTICAL at both levels
+(order-insensitive aggregate fingerprint) — the determinism half of the
+two-cluster-size equivalence check.
+
+Writes BENCH/BASELINE.md. Usage:
+    python tools/bench_scaling.py [pages_n]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from cloudtile_spark.operators.extract import extract_features  # noqa: E402
+from cloudtile_spark.operators.pyramid import build_pyramid  # noqa: E402
+from cloudtile_spark.session import get_spark  # noqa: E402
+from cloudtile_spark.sources.pages import synth_pages  # noqa: E402
+
+PAGES_N = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+LEVELS = tuple(int(x) for x in os.environ.get("SCALE_LEVELS", "8,32").split(","))
+
+
+def fingerprint(df) -> int:
+    """Order-insensitive output fingerprint: sum of row hashes."""
+    # bit_xor: order-insensitive and overflow-free (ANSI mode rejects a
+    # summed xxhash64)
+    return df.select(
+        F.expr(f"bit_xor(xxhash64({', '.join(df.columns)}))").alias("fp")
+    ).collect()[0].fp
+
+
+INPUT_DIR = "/dev/shm/scale_input"
+
+
+def prepare_input() -> None:
+    """Materialize the feature table ONCE (untimed setup): scaling is
+    measured on the engine reading parquet — the real 100 TB path — not on
+    synthetic html generation."""
+    spark = get_spark("scale_prep", cores=32, shuffle_partitions=32)
+    feats = extract_features(
+        synth_pages(spark, PAGES_N, partitions=64).drop("page_id")
+    ).select("feature_id", "lon", "lat")
+    feats.repartition(64).write.mode("overwrite").parquet(INPUT_DIR)
+    spark.stop()
+
+
+def run_at(cores: int) -> dict:
+    # ActiveProcessorCount pins the WHOLE JVM (worker pool, GC, codegen
+    # threads) to N cores — without it, GC free-rides on idle cores in the
+    # small-N run and the proxy under-reports scaling efficiency. Requires
+    # a fresh JVM per level -> each level runs in its own subprocess (main).
+    spark = get_spark(
+        f"scale_{cores}", cores=cores, shuffle_partitions=cores,
+        extra_conf={
+            "spark.driver.extraJavaOptions":
+                f"-XX:ActiveProcessorCount={cores} "
+                "-Djava.net.preferIPv4Stack=true",
+        },
+    )
+    feats = spark.read.parquet(INPUT_DIR)
+    # JIT/codegen warmup: first run compiles; then take the best of two
+    # timed repeats (this VM shows heavy run-to-run variance)
+    build_pyramid(feats.limit(20_000), minz=0, maxz=6,
+                  with_ids=False).count()
+    times, n_tiles = [], 0
+    for _ in range(2):
+        t0 = time.time()
+        n_tiles = build_pyramid(feats, minz=0, maxz=12,
+                                with_ids=False).count()
+        times.append(time.time() - t0)
+    t_pyramid = min(times)
+    fp = fingerprint(
+        build_pyramid(feats, minz=0, maxz=12, with_ids=False)
+    )
+    # PIP join leg (deterministic zones — rand(seed) varies with
+    # partition count and would change the input between levels)
+    from bench import det_zones
+    zones = det_zones(spark)
+    feats.join(
+        F.broadcast(zones),
+        (F.col("lon") >= F.col("xmin")) & (F.col("lon") < F.col("xmax"))
+        & (F.col("lat") >= F.col("ymin")) & (F.col("lat") < F.col("ymax")),
+    ).limit(1000).count()  # warm the join path too
+    jt, n_join = [], 0
+    for _ in range(2):
+        t0 = time.time()
+        n_join = feats.join(
+            F.broadcast(zones),
+            (F.col("lon") >= F.col("xmin")) & (F.col("lon") < F.col("xmax"))
+            & (F.col("lat") >= F.col("ymin")) & (F.col("lat") < F.col("ymax")),
+        ).count()
+        jt.append(time.time() - t0)
+    t_join = min(jt)
+    spark.stop()
+    return {
+        "cores": cores,
+        "pyramid_sec": round(t_pyramid, 2),
+        "pyramid_tiles": n_tiles,
+        "pyramid_tiles_per_sec": round(n_tiles / t_pyramid, 1),
+        "pyramid_features_per_sec": round(PAGES_N * 13 / t_pyramid, 1),
+        "join_sec": round(t_join, 2),
+        "join_rows": n_join,
+        "join_rows_per_sec": round(n_join / t_join, 1),
+        "fingerprint": fp,
+    }
+
+
+def main() -> None:
+    import subprocess
+
+    prepare_input()
+    results = []
+    for c in LEVELS:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             str(PAGES_N), "--single", str(c)],
+            capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        results.append(json.loads(out.stdout.strip().splitlines()[-1]))
+    lo, hi = results
+    ratio = hi["cores"] / lo["cores"]
+    eff_pyr = (lo["pyramid_sec"] / hi["pyramid_sec"]) / ratio
+    eff_join = (lo["join_sec"] / hi["join_sec"]) / ratio
+    identical = lo["fingerprint"] == hi["fingerprint"] and \
+        lo["pyramid_tiles"] == hi["pyramid_tiles"]
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(f"""# BENCH/BASELINE — two-parallelism scaling evidence
+
+North rule: throughput scaling efficiency >= 0.8 between cluster sizes N
+and 4N. Sandbox proxy (BASELINE.md): identical deterministic job at
+local[{lo['cores']}] vs local[{hi['cores']}] ({PAGES_N:,} synthetic pages,
+z0-12 pyramid + 200-zone broadcast PIP join).
+
+| leg | local[{lo['cores']}] | local[{hi['cores']}] | efficiency |
+|---|---|---|---|
+| pyramid z0-12 (sec) | {lo['pyramid_sec']} | {hi['pyramid_sec']} | {eff_pyr:.2f} |
+| pyramid tiles/sec | {lo['pyramid_tiles_per_sec']:,} | {hi['pyramid_tiles_per_sec']:,} | |
+| pyramid features/sec | {lo['pyramid_features_per_sec']:,} | {hi['pyramid_features_per_sec']:,} | |
+| PIP join (sec) | {lo['join_sec']} | {hi['join_sec']} | {eff_join:.2f} |
+| PIP join rows/sec | {lo['join_rows_per_sec']:,} | {hi['join_rows_per_sec']:,} | |
+
+Output equivalence across parallelism levels (the determinism half of the
+two-cluster-size check): tiles={lo['pyramid_tiles']:,} at both levels,
+order-insensitive fingerprint match = **{identical}**.
+
+Raw: ```{json.dumps(results)}```
+""")
+    print(json.dumps({
+        "efficiency_pyramid": round(eff_pyr, 3),
+        "efficiency_join": round(eff_join, 3),
+        "identical_output": identical,
+        "results": results,
+    }))
+
+
+if __name__ == "__main__":
+    if "--single" in sys.argv:
+        print(json.dumps(run_at(int(sys.argv[sys.argv.index("--single") + 1]))))
+    else:
+        main()
