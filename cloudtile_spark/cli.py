@@ -1,0 +1,181 @@
+"""CLI — the reference's command surface re-pointed at Spark jobs
+(reference src/cloudtile/cli/__init__.py:17-161 + cli/parsers.py:10-237).
+
+Kept observable behaviors:
+- argparse tree ``convert {vector2features, features2tiles, single-step}``
+  and ``manage {upload, download}`` (reference subparsers, parsers.py:50-60;
+  verbs renamed for the Spark data model: fgb/pmtiles -> features/tiles)
+- ``maximum_zoom`` parses as int or the literal ``"g"`` (guess)
+  (reference cli/parsers.py:146-150)
+- ``--tc-kwargs key=value ...`` free-form settings overrides with bool
+  coercion (reference ParseTCKwargs, cli/parsers.py:210-237)
+- output naming ``{stem}-{minzoom}-{maxzoom}[-{suffix}]``
+  (reference FilePath.get_output_path, geofile.py:278-296)
+- ``--config`` replaces defaults wholesale; explicit kwargs override both
+  (reference geofile.py:202-216)
+
+Usage:
+    python -m cloudtile_spark convert single-step pages.parquet 0 10
+"""
+
+from __future__ import annotations
+
+import argparse
+import shutil
+import sys
+from pathlib import Path
+from typing import Any, Optional
+
+from .settings import TilingSettings
+
+
+def zoom_arg(v: str):
+    """int or 'g' (reference cli/parsers.py:146-150)."""
+    if v == "g":
+        return "g"
+    return int(v)
+
+
+def parse_tc_kwargs(pairs: list[str]) -> dict[str, Any]:
+    """['k=v', ...] -> dict with bool coercion (reference ParseTCKwargs)."""
+    out: dict[str, Any] = {}
+    for pair in pairs:
+        if "=" not in pair:
+            raise argparse.ArgumentTypeError(
+                f"--tc-kwargs entries must be key=value, got {pair!r}")
+        k, v = pair.split("=", 1)
+        if v.lower() in ("true", "false"):
+            out[k] = v.lower() == "true"
+        else:
+            try:
+                out[k] = int(v)
+            except ValueError:
+                out[k] = v
+    return out
+
+
+def output_name(stem: str, minz, maxz, suffix: Optional[str] = None) -> str:
+    """{stem}-{minz}-{maxz}[-{suffix}] (reference geofile.py:288-295)."""
+    name = f"{stem}-{minz}-{maxz}"
+    if suffix:
+        name += f"-{suffix}"
+    return name
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="cloudtile_spark")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    manage = sub.add_parser("manage", help="move artifacts in/out of the warehouse")
+    msub = manage.add_subparsers(dest="action", required=True)
+    for verb in ("upload", "download"):
+        mp = msub.add_parser(verb)
+        mp.add_argument("src")
+        mp.add_argument("--warehouse", default="warehouse")
+
+    conv = sub.add_parser("convert", help="run a conversion job")
+    csub = conv.add_subparsers(dest="action", required=True)
+
+    v2f = csub.add_parser("vector2features")
+    v2f.add_argument("src")
+    v2f.add_argument("--out", default=None)
+    v2f.add_argument("--cores", type=int, default=8)
+
+    for name in ("features2tiles", "single-step"):
+        f2t = csub.add_parser(name)
+        f2t.add_argument("src")
+        f2t.add_argument("minimum_zoom", type=int)
+        f2t.add_argument("maximum_zoom", type=zoom_arg)
+        f2t.add_argument("--out", default=None)
+        f2t.add_argument("--suffix", default=None)
+        f2t.add_argument("--config", default=None)
+        f2t.add_argument("--pmtiles", action="store_true",
+                         help="also assemble a single-file .pmtiles artifact")
+        f2t.add_argument("--tc-kwargs", nargs="*", default=[])
+        f2t.add_argument("--cores", type=int, default=8)
+    return p
+
+
+def _settings_from_args(args) -> TilingSettings:
+    s = TilingSettings(cfg_path=args.config) if args.config \
+        else TilingSettings()
+    s.override_settings(**parse_tc_kwargs(args.tc_kwargs))
+    s["minimum-zoom"] = args.minimum_zoom
+    s["maximum-zoom"] = args.maximum_zoom
+    return s
+
+
+def main(argv: Optional[list[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.command == "manage":
+        src = Path(args.src)
+        wh = Path(args.warehouse)
+        wh.mkdir(parents=True, exist_ok=True)
+        if args.action == "upload":
+            dest = wh / src.name
+            if dest.exists() and dest.stat().st_size == src.stat().st_size:
+                print(f"skip (already uploaded): {dest}")  # md5-skip analogue
+            else:
+                (shutil.copytree if src.is_dir() else shutil.copy2)(src, dest)
+                print(f"uploaded {src} -> {dest}")
+        else:
+            dest = Path(src.name)
+            src_wh = wh / src.name
+            (shutil.copytree if src_wh.is_dir() else shutil.copy2)(src_wh, dest)
+            print(f"downloaded {src_wh} -> {dest}")
+        return 0
+
+    from pyspark.sql import SparkSession
+
+    from .operators.extract import extract_features
+    from .session import get_spark
+
+    # reuse an already-active session (embedded/test use) and leave its
+    # lifecycle alone; only stop a session this CLI itself created
+    active = SparkSession.getActiveSession()
+    spark = active or get_spark("cloudtile_spark_cli", cores=args.cores)
+    try:
+        if args.action == "vector2features":
+            pages = spark.read.parquet(args.src)
+            out = args.out or (Path(args.src).stem + "-features")
+            extract_features(pages).write.mode("overwrite").parquet(out)
+            print(f"wrote features: {out}")
+            return 0
+
+        settings = _settings_from_args(args)
+        stem = Path(args.src).stem
+        if args.action == "single-step":
+            pages = spark.read.parquet(args.src)
+            feats = extract_features(pages).select("feature_id", "lon", "lat")
+        else:
+            feats = spark.read.parquet(args.src) \
+                .select("feature_id", "lon", "lat")
+        maxz = settings["maximum-zoom"]
+        if maxz == "g":
+            from .operators.pyramid import guess_max_zoom
+            maxz = guess_max_zoom(feats, settings["maximum-tile-features"])
+        name = output_name(stem, settings["minimum-zoom"], maxz, args.suffix)
+        out = args.out or name
+
+        from .operators.mvt import encode_point_tiles
+        tiles_df = encode_point_tiles(
+            feats, settings["minimum-zoom"], maxz, settings=settings)
+        tiles_df.write.mode("overwrite").partitionBy("z").parquet(out)
+        print(f"wrote tiles table: {out}")
+        if args.pmtiles:
+            from .operators.pmtiles import write_pmtiles
+            rows = [(r.z, r.x, r.y, bytes(r.mvt))
+                    for r in spark.read.parquet(out)
+                    .select("z", "x", "y", "mvt").collect()]
+            pm = f"{name}.pmtiles"
+            write_pmtiles(pm, rows, settings["minimum-zoom"], maxz)
+            print(f"wrote archive: {pm}")
+        return 0
+    finally:
+        if active is None:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -306,6 +306,87 @@ def encode_point_tiles(
     return df.groupBy("z", "x", "y").applyInPandas(enc, schema=TILE_SCHEMA)
 
 
+COVER_SCHEMA = T.StructType([
+    T.StructField("feature_id", T.LongType()),
+    T.StructField("geom_type", T.StringType()),
+    T.StructField("geom_wkb", T.BinaryType()),
+    T.StructField("z", T.IntegerType()),
+    T.StructField("x", T.LongType()),
+    T.StructField("y", T.LongType()),
+])
+
+
+def tile_cover(features: DataFrame, minz: int, maxz: int,
+               max_tiles_per_feature: int = 4096) -> DataFrame:
+    """Explode WKB geometries to every (z, x, y) their bbox covers.
+
+    Arrow-batched (mapInPandas): WKB parse + bbox + cover are NumPy work.
+    Fan-out control (SURVEY §4 hard part (a)): a feature covering more than
+    ``max_tiles_per_feature`` tiles at a zoom contributes its bbox-cover at
+    the deepest zoom where it fits the budget and is SKIPPED deeper (the
+    tippecanoe analogue is clip+dedup per tile; skipping over-budget deep
+    zooms bounds the blow-up for continent-scale polygons).
+    """
+
+    def cover(batches):
+        for pdf in batches:
+            rows = []
+            for fid, gt, wkb in zip(pdf.feature_id, pdf.geom_type,
+                                    pdf.geom_wkb):
+                _, coords = geom.wkb_parse(bytes(wkb))
+                xmin, ymin, xmax, ymax = geom.polygon_bbox(coords)
+                for z in range(minz, maxz + 1):
+                    tl = tiles.bbox_tile_cover(xmin, ymin, xmax, ymax, z)
+                    if len(tl) > max_tiles_per_feature:
+                        break
+                    for x, y in tl:
+                        rows.append((int(fid), gt, bytes(wkb), z, x, y))
+            yield pd.DataFrame(
+                rows, columns=["feature_id", "geom_type", "geom_wkb",
+                               "z", "x", "y"],
+            )
+
+    return features.select("feature_id", "geom_type", "geom_wkb") \
+        .mapInPandas(cover, schema=COVER_SCHEMA)
+
+
+def encode_geom_tiles(
+    features: DataFrame,
+    minz: int,
+    maxz: int,
+    settings: TilingSettings | None = None,
+) -> DataFrame:
+    """WKB features (point/linestring/polygon) -> MVT tiles.
+
+    tile_cover (narrow Arrow map) -> groupBy(z,x,y) -> per-tile encode with
+    clip/simplify/tiny-polygon (encode_geom_tile_batch). The grouped stage
+    receives only the features whose bbox touches the tile; exact clipping
+    inside the encoder discards bbox-only intersections.
+    """
+    settings = settings if settings is not None else TilingSettings()
+    covered = tile_cover(features, minz, maxz)
+
+    def enc(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        z, x, y = int(key[0]), int(key[1]), int(key[2])
+        feats = [
+            (int(fid), gt, bytes(wkb))
+            for fid, gt, wkb in zip(pdf.feature_id, pdf.geom_type,
+                                    pdf.geom_wkb)
+        ]
+        blob, n = encode_geom_tile_batch(z, x, y, feats, settings)
+        if n == 0:
+            return pd.DataFrame(
+                columns=["z", "x", "y", "feature_count", "mvt"]
+            ).astype({"z": "int32", "x": "int64", "y": "int64",
+                      "feature_count": "int64"})
+        return pd.DataFrame(
+            [{"z": z, "x": x, "y": y, "feature_count": n, "mvt": blob}]
+        )
+
+    return covered.groupBy("z", "x", "y").applyInPandas(
+        enc, schema=TILE_SCHEMA)
+
+
 def encode_geom_tile_batch(
     z: int, x: int, y: int,
     feats: list[tuple[int, str, bytes]],

@@ -1,0 +1,201 @@
+"""PMTiles v3 single-file archive writer/reader (pure Python, public spec:
+github.com/protomaps/PMTiles/blob/main/spec/v3).
+
+The reference's terminal artifact is a ``.pmtiles`` file produced by
+tippecanoe (reference src/cloudtile/geofile.py:239-250; output naming
+``stem-{minzoom}-{maxzoom}[-suffix].pmtiles``, geofile.py:278-296). This
+module assembles the same artifact from the engine's tiles DataFrame.
+
+Scale note: the archive format is inherently a single serial file with a
+global directory — assembly is a DRIVER-side step over the (already
+aggregated, capped) tile payloads, exactly as cloudtile treats it (an
+artifact, not a table). The scalable output is the z-partitioned MVT table
+(operators/mvt.py + plans/lineage.py); this sink exists for artifact parity.
+
+Implemented subset: v3 header, root directory only (fine to ~10k tiles; a
+leaf-directory spill is future work and detected loudly), no internal
+compression (matching the reference's active `no-tile-compression` default,
+tippecanoe.yaml:112), clustered tile ordering by tile_id (Hilbert), and
+run-length/offset dedup for byte-identical tiles.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+
+import numpy as np
+
+from .. import tiles
+
+MAGIC = b"PMTiles"
+VERSION = 3
+HEADER_LEN = 127
+COMPRESSION_NONE = 1
+TILETYPE_MVT = 1
+
+
+def tile_id(z: int, x: int, y: int) -> int:
+    """Cumulative Hilbert tile id (spec: sum of tiles above + hilbert)."""
+    acc = (4 ** z - 1) // 3  # sum_{i<z} 4^i
+    return acc + int(tiles.hilbert_d(z, np.array([x]), np.array([y]))[0])
+
+
+def _varint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = v = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        v |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return v, pos
+        shift += 7
+
+
+def _encode_directory(entries: list[tuple[int, int, int, int]]) -> bytes:
+    """entries: (tile_id, offset, length, run_length), sorted by tile_id.
+    Spec layout: n, delta tile_ids, run_lengths, lengths, offsets(+1 or 0
+    for 'offset = prev offset + prev length')."""
+    out = bytearray()
+    out += _varint(len(entries))
+    last = 0
+    for tid, _, _, _ in entries:
+        out += _varint(tid - last)
+        last = tid
+    for _, _, _, rl in entries:
+        out += _varint(rl)
+    for _, _, ln, _ in entries:
+        out += _varint(ln)
+    prev_off = prev_len = None
+    for _, off, ln, _ in entries:
+        if prev_off is not None and off == prev_off + prev_len:
+            out += _varint(0)
+        else:
+            out += _varint(off + 1)
+        prev_off, prev_len = off, ln
+    return bytes(out)
+
+
+def _decode_directory(buf: bytes) -> list[tuple[int, int, int, int]]:
+    pos = 0
+    n, pos = _read_varint(buf, pos)
+    tids, rls, lens, offs = [], [], [], []
+    last = 0
+    for _ in range(n):
+        d, pos = _read_varint(buf, pos)
+        last += d
+        tids.append(last)
+    for _ in range(n):
+        v, pos = _read_varint(buf, pos)
+        rls.append(v)
+    for _ in range(n):
+        v, pos = _read_varint(buf, pos)
+        lens.append(v)
+    prev_off = prev_len = 0
+    for i in range(n):
+        v, pos = _read_varint(buf, pos)
+        off = prev_off + prev_len if v == 0 else v - 1
+        offs.append(off)
+        prev_off, prev_len = off, lens[i]
+    return list(zip(tids, offs, lens, rls))
+
+
+def write_pmtiles(
+    path: str,
+    tile_rows: list[tuple[int, int, int, bytes]],
+    minzoom: int,
+    maxzoom: int,
+    metadata: dict | None = None,
+) -> None:
+    """tile_rows: (z, x, y, mvt_bytes). Driver-side assembly."""
+    entries_raw = sorted(
+        (tile_id(z, x, y), bytes(b)) for z, x, y, b in tile_rows
+    )
+    if len(entries_raw) > 50_000:
+        raise NotImplementedError(
+            "root-directory-only writer; leaf directories needed for "
+            f"{len(entries_raw)} tiles (spec supports it; future work)"
+        )
+    # dedup identical tile payloads by content (spec encourages clustering)
+    data = bytearray()
+    seen: dict[bytes, tuple[int, int]] = {}
+    entries = []
+    for tid, blob in entries_raw:
+        if blob in seen:
+            off, ln = seen[blob]
+        else:
+            off, ln = len(data), len(blob)
+            data += blob
+            seen[blob] = (off, ln)
+        entries.append((tid, off, ln, 1))
+    root = _encode_directory(entries)
+    meta = json.dumps(metadata or {"name": "cloudtile_spark"}).encode()
+
+    root_off = HEADER_LEN
+    meta_off = root_off + len(root)
+    leaf_off = meta_off + len(meta)
+    data_off = leaf_off  # no leaves
+
+    # spec v3 header: exactly 127 bytes —
+    # magic(7) version(1), 11 x u64 (root off/len, meta off/len, leaf
+    # off/len, data off/len, n_addressed, n_entries, n_contents),
+    # clustered(1), internal_compression(1), tile_compression(1),
+    # tile_type(1), minzoom(1), maxzoom(1), 4 x i32 E7 bounds,
+    # center_zoom(1), 2 x i32 E7 center
+    header = struct.pack(
+        "<7sB" "11Q" "BBBBBB" "iiii" "B" "ii",
+        MAGIC, VERSION,
+        root_off, len(root),
+        meta_off, len(meta),
+        leaf_off, 0,
+        data_off, len(data),
+        len(entries), len(entries), len(seen),
+        1, COMPRESSION_NONE, COMPRESSION_NONE, TILETYPE_MVT,
+        minzoom, maxzoom,
+        int(-180 * 1e7), int(-85.05113 * 1e7),
+        int(180 * 1e7), int(85.05113 * 1e7),
+        minzoom, 0, 0,
+    )
+    assert len(header) == HEADER_LEN, len(header)
+    with open(path, "wb") as f:
+        f.write(header)
+        f.write(root)
+        f.write(meta)
+        f.write(bytes(data))
+
+
+def read_pmtiles(path: str) -> dict:
+    """Parse header + root directory + all tiles -> {(z,x,y)? no — tile_id:
+    bytes} plus header fields. The inverse used by the roundtrip tests."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    magic, version = struct.unpack_from("<7sB", buf, 0)
+    assert magic == MAGIC and version == VERSION
+    fields = struct.unpack_from("<11Q", buf, 8)
+    (root_off, root_len, meta_off, meta_len, leaf_off, leaf_len,
+     data_off, data_len, n_addr, n_entries, n_contents) = fields
+    tail = struct.unpack_from("<BBBBBB" "iiii" "Bii", buf, 8 + 11 * 8)
+    entries = _decode_directory(buf[root_off:root_off + root_len])
+    tiles_out = {}
+    for tid, off, ln, rl in entries:
+        for r in range(rl):
+            tiles_out[tid + r] = buf[data_off + off:data_off + off + ln]
+    return {
+        "minzoom": tail[4], "maxzoom": tail[5],
+        "tile_type": tail[3],
+        "metadata": json.loads(buf[meta_off:meta_off + meta_len] or b"{}"),
+        "tiles": tiles_out,
+        "n_contents": n_contents,
+    }

@@ -198,6 +198,33 @@ def build_pyramid(
     return capped_tile_summary(df, cap, with_ids=with_ids)
 
 
+def extend_zooms_while_dropping(
+    features: DataFrame,
+    cap: int,
+    minz: int,
+    maxz: int,
+    hard_limit: int = 15,
+) -> int:
+    """tippecanoe ``extend-zooms-if-still-dropping`` (reference
+    tippecanoe.yaml:27): if the deepest requested zoom still drops features
+    (densest tile > cap), extend max zoom until nothing drops or the hard
+    limit. One aggregate job over all candidate extension zooms at once —
+    a driver decision over a tiny result, not a per-zoom loop.
+    """
+    per_z_max = dict(
+        (r.z, r.max_per_tile)
+        for r in assign_xy(explode_zooms(
+            features.select("lon", "lat"), maxz, hard_limit))
+        .groupBy("z", "x", "y").count()
+        .groupBy("z").agg(F.max("count").alias("max_per_tile"))
+        .collect()
+    )
+    z = maxz
+    while z < hard_limit and per_z_max.get(z, 0) > cap:
+        z += 1
+    return z
+
+
 def density_capped_summary(
     features: DataFrame,
     z: int,

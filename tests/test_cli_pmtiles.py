@@ -1,0 +1,96 @@
+"""CLI behavior + PMTiles archive roundtrip tests (mirrors the reference's
+CLI/parser tests, reference tests/test_cli.py + test_parsers.py)."""
+
+import numpy as np
+import pytest
+
+from cloudtile_spark.cli import (
+    build_parser, main, output_name, parse_tc_kwargs, zoom_arg,
+)
+from cloudtile_spark.operators import mvt, pmtiles
+
+
+def test_zoom_arg_int_or_g():
+    assert zoom_arg("7") == 7
+    assert zoom_arg("g") == "g"
+    with pytest.raises(ValueError):
+        zoom_arg("seven")
+
+
+def test_parse_tc_kwargs_coercion():
+    got = parse_tc_kwargs(["hilbert=true", "simplification=4", "order-by=x"])
+    assert got == {"hilbert": True, "simplification": 4, "order-by": "x"}
+    import argparse
+    with pytest.raises(argparse.ArgumentTypeError):
+        parse_tc_kwargs(["oops"])
+
+
+def test_output_name_matches_reference_scheme():
+    # reference FilePath.get_output_path (geofile.py:288-295)
+    assert output_name("blocks", 4, 9) == "blocks-4-9"
+    assert output_name("blocks", 4, 9, "v2") == "blocks-4-9-v2"
+
+
+def test_parser_tree_and_usage_errors(capsys):
+    p = build_parser()
+    ns = p.parse_args(["convert", "single-step", "in.parquet", "0", "g"])
+    assert ns.maximum_zoom == "g" and ns.minimum_zoom == 0
+    with pytest.raises(SystemExit):
+        p.parse_args(["convert"])  # missing subaction
+    with pytest.raises(SystemExit):
+        p.parse_args(["bogus"])
+
+
+def test_manage_upload_download_with_dedup_skip(tmp_path, capsys):
+    src = tmp_path / "artifact.bin"
+    src.write_bytes(b"x" * 100)
+    wh = tmp_path / "wh"
+    assert main(["manage", "upload", str(src), "--warehouse", str(wh)]) == 0
+    assert (wh / "artifact.bin").read_bytes() == b"x" * 100
+    # second upload skips (reference md5-skip semantics, s3.py:128-132)
+    main(["manage", "upload", str(src), "--warehouse", str(wh)])
+    assert "skip" in capsys.readouterr().out
+
+
+def test_cli_single_step_end_to_end(tmp_path, spark, monkeypatch):
+    """Full CLI path: pages parquet -> tiles table + pmtiles archive."""
+    from cloudtile_spark.sources.pages import synth_pages
+
+    monkeypatch.chdir(tmp_path)
+    pages = synth_pages(spark, 400, partitions=4).drop("page_id")
+    pages.write.parquet(str(tmp_path / "pages.parquet"))
+    rc = main([
+        "convert", "single-step", str(tmp_path / "pages.parquet"),
+        "0", "4", "--pmtiles", "--cores", "4",
+        "--tc-kwargs", "maximum-tile-features=150",
+    ])
+    assert rc == 0
+    arch = pmtiles.read_pmtiles(str(tmp_path / "pages-0-4.pmtiles"))
+    assert arch["minzoom"] == 0 and arch["maxzoom"] == 4
+    # z0 tile holds min(400, 150) features after the cap
+    z0 = arch["tiles"][pmtiles.tile_id(0, 0, 0)]
+    dec = mvt.decode_tile(z0)
+    assert len(dec["features"]) == 150
+
+
+def test_pmtiles_roundtrip_and_dedup():
+    rows = []
+    blob_a = mvt.encode_layer("l", [mvt.encode_feature(1, 1, [np.array([[5, 5]])], [])], [], [])
+    blob_b = mvt.encode_layer("l", [mvt.encode_feature(2, 1, [np.array([[9, 9]])], [])], [], [])
+    rows.append((1, 0, 0, blob_a))
+    rows.append((1, 1, 0, blob_a))  # identical payload -> content-dedup
+    rows.append((1, 0, 1, blob_b))
+    pmtiles.write_pmtiles("/tmp/t.pmtiles", rows, 1, 1)
+    back = pmtiles.read_pmtiles("/tmp/t.pmtiles")
+    assert back["n_contents"] == 2  # deduped
+    assert back["tiles"][pmtiles.tile_id(1, 0, 0)] == blob_a
+    assert back["tiles"][pmtiles.tile_id(1, 1, 0)] == blob_a
+    assert back["tiles"][pmtiles.tile_id(1, 0, 1)] == blob_b
+
+
+def test_pmtiles_tile_id_spec_values():
+    # spec examples: z0 -> 0; z1 tiles occupy ids 1..4
+    assert pmtiles.tile_id(0, 0, 0) == 0
+    ids = {pmtiles.tile_id(1, x, y) for x in (0, 1) for y in (0, 1)}
+    assert ids == {1, 2, 3, 4}
+    assert pmtiles.tile_id(2, 0, 0) == 5

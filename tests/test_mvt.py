@@ -120,3 +120,48 @@ def test_geom_tile_batch_clip_simplify_tiny():
 
 def f_type(f):
     return f["type"]
+
+
+def test_encode_geom_tiles_distributed(spark):
+    """Distributed WKB pyramid: zones as polygons + hotspot connector lines;
+    every tile decodes, geometry types survive, clipping drops bbox-only
+    intersections, deterministic across parallelism."""
+    import pandas as pd
+    from cloudtile_spark.sources.zones import synth_zones
+    from cloudtile_spark.sources.pages import HOTSPOTS
+
+    zones = synth_zones(8)
+    rows = []
+    for _, z in zones.iterrows():
+        rows.append((int(z.zone_id), "polygon", geom.wkb_polygon(z.ring)))
+    for i in range(4):
+        _, x1, y1 = HOTSPOTS[i]
+        _, x2, y2 = HOTSPOTS[i + 1]
+        rows.append((100 + i, "linestring",
+                     geom.wkb_linestring(np.array([[x1, y1], [x2, y2]]))))
+    outs = []
+    for parts in (2, 8):
+        feats = spark.createDataFrame(
+            rows, "feature_id long, geom_type string, geom_wkb binary"
+        ).repartition(parts)
+        t = mvt.encode_geom_tiles(feats, 0, 6)
+        outs.append(sorted(
+            (r.z, r.x, r.y, r.feature_count, bytes(r.mvt)) for r in t.collect()
+        ))
+    assert outs[0] == outs[1]
+    got = outs[0]
+    assert len(got) > 20
+    z0 = [g for g in got if g[0] == 0][0]
+    dec = mvt.decode_tile(z0[4])
+    types = {f["type"] for f in dec["features"]}
+    assert 3 in types and 2 in types  # polygons + lines at z0
+    assert z0[3] == len(rows)  # every feature visible on the world tile
+    # clipping sanity at deeper zoom: per-tile geometry must intersect the
+    # tile's extent window (+buffer)
+    z5 = [g for g in got if g[0] == 5][:10]
+    for _, x, y, n, blob in z5:
+        d = mvt.decode_tile(blob)
+        assert len(d["features"]) == n > 0
+        for f in d["features"]:
+            pts = [p for part in f["geometry"] for p in part]
+            assert all(-16 <= px <= mvt.EXTENT + 16 for px, py in pts)

@@ -148,3 +148,37 @@ def test_capped_summary_equals_window_path(spark, features):
     a = sorted(map(tuple, agg.select("z", "x", "y", "feature_count", "checksum").collect()))
     b = sorted(map(tuple, win.select("z", "x", "y", "feature_count", "checksum").collect()))
     assert a == b
+
+
+def test_extend_zooms_while_dropping(features):
+    from cloudtile_spark.operators.pyramid import extend_zooms_while_dropping
+
+    # with a tiny cap, z3 still drops -> extended beyond
+    z = extend_zooms_while_dropping(features, cap=20, minz=0, maxz=3)
+    assert z > 3
+    # huge cap: nothing drops at maxz -> unchanged
+    z2 = extend_zooms_while_dropping(features, cap=10**6, minz=0, maxz=3)
+    assert z2 == 3
+
+
+def test_geojson_reader_roundtrip(spark, tmp_path):
+    import json as _json
+    from cloudtile_spark.sources.readers import load_features
+
+    p = tmp_path / "pts.geojson"
+    with open(p, "w") as f:
+        for i in range(50):
+            f.write(_json.dumps({
+                "type": "Feature", "id": i,
+                "geometry": {"type": "Point",
+                             "coordinates": [i * 0.5 - 10, i * 0.3 - 5]},
+                "properties": {"name": f"p{i}"},
+            }) + "\n")
+    df = load_features(spark, str(p))
+    rows = {r.feature_id: (r.lon, r.lat, r.props["name"])
+            for r in df.collect()}
+    assert len(rows) == 50
+    assert rows[4] == (4 * 0.5 - 10, 4 * 0.3 - 5, "p4")
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        load_features(spark, "something.shapefile")  # reference negative case
