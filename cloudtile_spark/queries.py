@@ -817,6 +817,90 @@ def _events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "events_json_props",
+    """
+    SELECT event_type,
+           sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           count(*) AS n
+    FROM events WHERE CAST(json_extract(props, '$.k') AS BIGINT) % 2 = 0
+    GROUP BY event_type
+    """,
+    doc="JSON scalar functions over the events props column (SURVEY §2.C "
+        "scalar functions): parse + filter + agg, JVM-side",
+)
+def _events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT event_type,
+               sum(CAST(get_json_object(props, '$.k') AS BIGINT)) AS sum_k,
+               count(*) AS n
+        FROM events WHERE CAST(get_json_object(props, '$.k') AS BIGINT) % 2 = 0
+        GROUP BY event_type
+        """
+    )
+
+
+_shared_sql(
+    "set_ops_reconcile",
+    """
+    WITH done AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+    wanted AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0),
+    pending AS (SELECT doc_id FROM wanted EXCEPT SELECT doc_id FROM done),
+    overlap AS (SELECT doc_id FROM wanted INTERSECT SELECT doc_id FROM done)
+    SELECT 'pending' AS bucket, count(*) AS n, min(doc_id) AS min_id FROM pending
+    UNION ALL
+    SELECT 'overlap' AS bucket, count(*) AS n, min(doc_id) AS min_id FROM overlap
+    """,
+    doc="set operators (EXCEPT/INTERSECT/UNION ALL): the resumed-run "
+        "reconciliation shape (SURVEY §2.C set ops — anti-join of completed "
+        "work, as plans/lineage.py does at tile granularity)",
+)
+
+
+@_register(
+    "events_pivot",
+    """
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click') AS click,
+           count(*) FILTER (WHERE event_type = 'view') AS view,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup') AS signup,
+           count(*) FILTER (WHERE event_type = 'error') AS error
+    FROM events GROUP BY user_id
+    """,
+    doc="pivot: per-user event-type count matrix (Spark pivot() vs oracle "
+        "FILTER aggregates)",
+)
+def _events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    df = spark.table("events")
+    out = (
+        df.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+        .na.fill(0)
+    )
+    return out
+
+
+_shared_sql(
+    "tile_coalesce_identical",
+    f"""
+    WITH {_GEO_CTE},
+    t AS (SELECT g.doc_id, d.lang,
+                 {tiles.tile_x_sql('g.lon', '6')} AS x,
+                 {tiles.tile_y_sql('g.lat', '6')} AS y
+          FROM geo g JOIN documents d ON d.doc_id = g.doc_id)
+    SELECT x, y, lang, count(*) AS merged_n, min(doc_id) AS rep_id
+    FROM t GROUP BY x, y, lang
+    """,
+    doc="tippecanoe `coalesce` (B13, yaml:86): merge features with identical "
+        "attributes within a tile into one representative + multiplicity",
+)
+
+
 # ===========================================================================
 # Relational coverage (joins/aggs/sorts; TPC-H-shaped over the test tables)
 # ===========================================================================

@@ -1,0 +1,56 @@
+"""Table catalog layer: Iceberg when available, parquet fallback.
+
+The north star's input is "an Iceberg table of Common-Crawl-style web pages".
+This container ships no Iceberg runtime jar (no network, no pip), so the
+catalog degrades to plain parquet paths with the SAME call surface; every
+operator in this engine reads through here, so pointing a real deployment at
+Iceberg is a config change, not a code change.
+
+Production configuration (standard public Iceberg-on-Spark setup):
+
+    spark-submit \
+      --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<ver> \
+      --conf spark.sql.catalog.lake=org.apache.iceberg.spark.SparkCatalog \
+      --conf spark.sql.catalog.lake.type=glue|hive|hadoop \
+      --conf spark.sql.catalog.lake.warehouse=s3://bucket/warehouse
+
+What Iceberg buys at 100 TB (and what the fallback approximates):
+- snapshot isolation + time travel  -> lineage table (plans/lineage.py)
+- hidden partitioning / partition pruning on (lang, days(warc_ts),
+  bucket(url)) -> explicit partitionBy on the parquet fallback
+- scan planning with column stats -> parquet footer stats (Catalyst uses
+  both the same way through the DataSource V2 API)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+def read_table(spark: SparkSession, ref: str) -> DataFrame:
+    """ref: 'catalog.db.table' (Iceberg) or a filesystem path (parquet)."""
+    if "/" not in ref and iceberg_available(spark):
+        return spark.read.format("iceberg").load(ref)
+    return spark.read.parquet(ref)
+
+
+def write_table(
+    df: DataFrame, ref: str, partition_by: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if "/" not in ref and iceberg_available(df.sparkSession):
+        writer.format("iceberg").saveAsTable(ref)
+    else:
+        writer.parquet(ref)

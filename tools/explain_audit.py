@@ -52,6 +52,33 @@ def main() -> None:
             + (f"- join strategies: {joins}\n" if joins else "")
         )
 
+    # bucketing: two tables bucketed on the cell key join WITHOUT a shuffle
+    # (the co-located-join strategy for repeated tile/cell joins at 100 TB)
+    from cloudtile_spark import cells
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.sql("DROP TABLE IF EXISTS b_left")
+    spark.sql("DROP TABLE IF EXISTS b_right")
+    g = docs_geo(spark, sf).selectExpr(
+        "doc_id", f"{cells.cell_sql('lon', 'lat', 7)} AS cell")
+    g.write.bucketBy(8, "cell").sortBy("cell").mode("overwrite") \
+        .saveAsTable("b_left")
+    g.selectExpr("doc_id AS other_id", "cell").write \
+        .bucketBy(8, "cell").sortBy("cell").mode("overwrite") \
+        .saveAsTable("b_right")
+    joined = spark.table("b_left").join(spark.table("b_right"), "cell")
+    s = plan_of(joined)
+    n_shuffle = s.count("Exchange") - s.count("BroadcastExchange")
+    bucketed = s.count("Bucketed: true")
+    out.append(
+        f"## bucketed cell join (co-location)\n\n"
+        f"- both sides bucketed by `cell` (8 buckets), broadcast disabled: "
+        f"shuffle Exchange operators in the join plan: **{n_shuffle}** "
+        f"(0 = shuffle-free co-located SortMergeJoin; an unbucketed "
+        f"equi-join shows 2); bucketed scans: {bucketed}/2\n"
+    )
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/PLANS.md", "w") as f:
         f.write("\n".join(out))
