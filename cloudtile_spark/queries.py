@@ -965,6 +965,114 @@ _shared_sql("tpch_q5", _TPCH_Q5_BODY,
             doc="5-way star join (dims broadcast; Catalyst join reorder)")
 
 
+_shared_sql(
+    "cluster_distance_snap",
+    f"""
+    WITH {_GEO_CTE},
+    snapped AS (
+      SELECT doc_id,
+             cast(floor(lon / 0.5) as bigint) AS gx,
+             cast(floor(lat / 0.5) as bigint) AS gy
+      FROM geo)
+    SELECT gx, gy, count(*) AS cluster_size, min(doc_id) AS representative
+    FROM snapped GROUP BY gx, gy HAVING count(*) > 1
+    """,
+    doc="cluster-distance point clustering (B10, tippecanoe.yaml:56 / "
+        "cluster-densest-as-needed): snap-to-grid at the cluster distance, "
+        "merge into representative + multiplicity",
+)
+
+_shared_sql(
+    "generate_ids",
+    f"""
+    WITH {_GEO_CTE},
+    t AS (SELECT doc_id, lon,
+                 {tiles.tile_x_sql('lon', '5')} AS x,
+                 {tiles.tile_y_sql('lat', '5')} AS y
+          FROM geo)
+    SELECT doc_id,
+           row_number() OVER (ORDER BY x, y, doc_id) AS gen_id
+    FROM t WHERE doc_id % 11 = 0
+    """,
+    doc="generate-ids (B7, tippecanoe.yaml:96) done DETERMINISTICALLY: "
+        "row_number over a total order, not monotonically_increasing_id "
+        "(which varies with partitioning)",
+)
+
+
+@_register(
+    "tile_approx_stats", None,
+    doc="sketch aggregates per coarse tile: approx_count_distinct (HLL) and "
+        "approx percentiles — rows-only (sketches are engine-specific by "
+        "construction; exact twins are oracle-checked in "
+        "accumulate_attribute)",
+)
+def _tile_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = docs_geo(spark, sf_dir)
+    load_views(spark, sf_dir)
+    t = spark.table("documents").join(g, "doc_id")
+    return (
+        t.withColumn("x", F.expr(tiles.tile_x_sql("lon", "3")))
+        .groupBy("x")
+        .agg(
+            F.approx_count_distinct("lang").alias("approx_langs"),
+            F.percentile_approx("n_chars", 0.5).alias("p50_chars"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+def _init_embedding_neardup() -> None:
+    from .operators.similarity import bucket_sql, dot_pair, norm
+
+    def corpus(dialect: str) -> str:
+        if dialect == "spark":
+            mutate = ("transform(embedding, x -> cast(x as float) * "
+                      "cast(1.001 as float))")
+        else:
+            mutate = ("list_transform(embedding, x -> "
+                      "x * CAST(1.001 AS FLOAT))")  # FLOAT*FLOAT, bit-matches Spark
+        return (
+            "corpus AS ("
+            "SELECT vec_id, embedding FROM embeddings "
+            "UNION ALL "
+            f"SELECT vec_id + 1000000 AS vec_id, {mutate} AS embedding "
+            "FROM embeddings WHERE vec_id % 4 = 0)"
+        )
+
+    def sql_for(dialect: str) -> str:
+        b = bucket_sql("embedding", dialect, planes=list(range(4)))
+        sim = (
+            f"{dot_pair('a.embedding', 'b.embedding', dialect)} / "
+            f"({norm('a.embedding', dialect)} * {norm('b.embedding', dialect)})"
+        )
+        return f"""
+        WITH {corpus(dialect)},
+        t AS (SELECT vec_id, embedding, {b} AS bucket FROM corpus),
+        cand AS (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {sim} AS sim
+          FROM t a JOIN t b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        SELECT vec_a, vec_b FROM cand WHERE sim >= 0.999
+        """
+
+    spark_sql = sql_for("spark")
+    duck_sql = sql_for("duck")
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        load_views(spark, sf_dir)
+        return spark.sql(spark_sql)
+
+    REGISTRY["dedup_embedding_cosine"] = Query(
+        "dedup_embedding_cosine", fn, duck_sql,
+        "embedding-cosine near-dup: planted scaled copies recovered via "
+        "hyperplane-bucket blocking + exact cosine >= 0.999 verify (scaled "
+        "vectors share all sign buckets, so recall on plants is 1.0)",
+    )
+
+
+_init_embedding_neardup()
+
+
 # ===========================================================================
 # Multimodal, raster, MVT, adaptive kNN, pages-extraction pipeline
 # ===========================================================================

@@ -80,6 +80,33 @@ def running_user_counts(stream: DataFrame) -> DataFrame:
     )
 
 
+FEATURES_SCHEMA = "feature_id long, lon double, lat double"
+
+
+def read_features_stream(spark: SparkSession, path_dir: str) -> DataFrame:
+    return spark.readStream.schema(FEATURES_SCHEMA).parquet(path_dir)
+
+
+def incremental_tile_counts(stream: DataFrame, minz: int, maxz: int) -> DataFrame:
+    """Streaming tile-pyramid maintenance: as new features arrive, per-tile
+    feature counts update incrementally (update output mode) — the
+    incremental twin of the batch pyramid; same JVM-side tile math.
+
+    State per (z, x, y) is a counter — bounded by the tile universe touched
+    so far, no per-feature state.
+    """
+    from .. import tiles as _tiles
+
+    return (
+        stream
+        .withColumn("z", F.explode(F.sequence(F.lit(minz), F.lit(maxz))))
+        .withColumn("x", F.expr(_tiles.tile_x_sql("lon", "z")))
+        .withColumn("y", F.expr(_tiles.tile_y_sql("lat", "z")))
+        .groupBy("z", "x", "y")
+        .agg(F.count("*").alias("feature_count"))
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, mode: str = "update"):
     """Drive a streaming DF into a memory sink until idle; returns the query."""
     q = (

@@ -151,3 +151,30 @@ def test_stateful_running_counts(spark, events_stream_dir):
               spark.read.parquet(events_stream_dir)
               .groupBy("user_id").agg(F.count("*").alias("n")).collect()}
     assert got == expect
+
+
+def test_streaming_incremental_pyramid_equals_batch(spark, tmp_path_factory):
+    """Feed features in two micro-batches; final per-tile counts equal the
+    batch pyramid over the full input (incremental tile maintenance)."""
+    from cloudtile_spark.operators.extract import extract_features
+    from cloudtile_spark.operators.pyramid import assign_xy, explode_zooms
+    from cloudtile_spark.sources.pages import synth_pages
+    from cloudtile_spark.streaming import events as st
+
+    d = str(tmp_path_factory.mktemp("feat_stream"))
+    feats = extract_features(synth_pages(spark, 1200, partitions=4)
+                             .drop("page_id")).select("feature_id", "lon", "lat")
+    feats.filter("feature_id < 600").coalesce(1).write.mode("append").parquet(d)
+    feats.filter("feature_id >= 600").coalesce(1).write.mode("append").parquet(d)
+
+    stream = st.read_features_stream(spark, d)
+    st.run_to_memory(st.incremental_tile_counts(stream, 0, 4),
+                     "pyr_t", mode="complete")
+    got = {(r.z, r.x, r.y): r.feature_count
+           for r in spark.sql("SELECT * FROM pyr_t").collect()}
+    batch = (
+        assign_xy(explode_zooms(feats, 0, 4))
+        .groupBy("z", "x", "y").count().collect()
+    )
+    expect = {(r.z, r.x, r.y): r["count"] for r in batch}
+    assert got == expect
