@@ -242,15 +242,31 @@ def knn_join_adaptive(
             .withColumn("cy", F.expr(tiles.tile_y_sql(lat, "res")))
         )
 
-    # 1. multi-res cell counts in one shuffle (aliased to avoid ambiguity
-    # with the query-side ring columns)
-    counts = (
-        with_cells(points.select("lon", "lat"), "lon", "lat")
+    # 1. cell counts at every resolution — hierarchically: ONE scan of the
+    # point side at the FINEST resolution, then coarser levels roll up from
+    # the (tiny) counts table by integer parent math. This replaces a
+    # len(res_levels)-x explode of the full input with one pass + rollups
+    # over aggregated rows.
+    finest = max(res_levels)
+    base = (
+        _with_cell_xy(points.select("lon", "lat"), "lon", "lat", finest)
         .groupBy(
-            F.col("res").alias("kres"), F.col("cx").alias("kx"),
+            F.lit(finest).alias("kres"), F.col("cx").alias("kx"),
             F.col("cy").alias("ky"),
         ).count()
+        .persist()  # consumed by every rollup level; tiny (<= #points rows)
     )
+    counts = base
+    for r in sorted((r for r in res_levels if r != finest), reverse=True):
+        shift = finest - r
+        lvl = (
+            base.groupBy(
+                F.lit(r).alias("kres"),
+                F.shiftright("kx", shift).alias("kx"),
+                F.shiftright("ky", shift).alias("ky"),
+            ).agg(F.sum("count").alias("count"))
+        )
+        counts = counts.unionByName(lvl)
 
     # 2. ring cells per (query, res); pick finest res with enough candidates
     q_ring = (
@@ -284,13 +300,23 @@ def knn_join_adaptive(
         .select("query_id", F.col("qres").alias("res"))
     )
 
-    # 3. single candidates join at each query's chosen res
+    # 3. single candidates join at each query's chosen res. The point side
+    # explodes only to resolutions some query actually chose (a tiny
+    # driver-side distinct over the query plan — typically 1-3 of the 5
+    # levels survive, cutting the explode proportionally).
+    chosen = chosen.persist()
+    used_res = sorted(r.res for r in chosen.select("res").distinct().collect())
+    used_levels = spark.createDataFrame([(r,) for r in used_res], "res int")
     q_cells = (
         q_ring.join(F.broadcast(chosen), ["query_id", "res"])
         .select("query_id", "qlon", "qlat", "res", "cx", "cy", "nx", "ny")
     )
-    pts = with_cells(points, "lon", "lat").withColumnRenamed("cx", "px") \
-        .withColumnRenamed("cy", "py").withColumnRenamed("res", "pres")
+    pts = (
+        points.crossJoin(F.broadcast(used_levels))
+        .withColumn("px", F.expr(tiles.tile_x_sql("lon", "res")))
+        .withColumn("py", F.expr(tiles.tile_y_sql("lat", "res")))
+        .withColumnRenamed("res", "pres")
+    )
     cand = (
         pts.join(
             F.broadcast(q_cells),
