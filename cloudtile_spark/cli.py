@@ -147,10 +147,12 @@ def main(argv: Optional[list[str]] = None) -> int:
         stem = Path(args.src).stem
         if args.action == "single-step":
             pages = spark.read.parquet(args.src)
-            feats = extract_features(pages).select("feature_id", "lon", "lat")
+            feats = extract_features(pages)
         else:
-            feats = spark.read.parquet(args.src) \
-                .select("feature_id", "lon", "lat")
+            feats = spark.read.parquet(args.src)
+        keep = [c for c in ("feature_id", "lon", "lat", "props")
+                if c in feats.columns]
+        feats = feats.select(*keep)
         maxz = settings["maximum-zoom"]
         if maxz == "g":
             from .operators.pyramid import guess_max_zoom

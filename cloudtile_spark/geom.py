@@ -197,6 +197,36 @@ def douglas_peucker(coords: np.ndarray, tolerance: float) -> np.ndarray:
     return coords[keep]
 
 
+def visvalingam(coords: np.ndarray, min_area: float) -> np.ndarray:
+    """Visvalingam-Whyatt simplification (tippecanoe's ``visvalingam``
+    alternative, reference tippecanoe.yaml:77): iteratively remove the
+    vertex forming the smallest triangle until every remaining triangle's
+    effective area >= ``min_area``. Endpoints kept.
+    """
+    pts = np.asarray(coords, dtype=np.float64)
+    n = len(pts)
+    if n <= 2:
+        return pts
+    alive = list(range(n))
+
+    def tri_area(i0, i1, i2):
+        a, b, c = pts[i0], pts[i1], pts[i2]
+        return 0.5 * abs(
+            (b[0] - a[0]) * (c[1] - a[1]) - (c[0] - a[0]) * (b[1] - a[1])
+        )
+
+    while len(alive) > 2:
+        areas = [
+            tri_area(alive[k - 1], alive[k], alive[k + 1])
+            for k in range(1, len(alive) - 1)
+        ]
+        k_min = int(np.argmin(areas))
+        if areas[k_min] >= min_area:
+            break
+        del alive[k_min + 1]
+    return pts[alive]
+
+
 # ---------------------------------------------------------------------------
 # Clipping — Sutherland-Hodgman (polygons) / Liang-Barsky (lines)
 # (tippecanoe clipping-to-tile-bounds + buffer, yaml:81-84)

@@ -279,26 +279,57 @@ def encode_point_tiles(
     settings = settings if settings is not None else TilingSettings()
     cap = settings["maximum-tile-features"]
     max_bytes = settings["maximum-tile-bytes"]
+    has_props = "props" in features.columns
+    exclude_all = bool(settings.get("exclude-all"))
+    include = settings.get("include")
+    exclude = settings.get("exclude")
+    cols = ["feature_id", "lon", "lat"] + (["props"] if has_props else [])
 
-    df = assign_xy(explode_zooms(
-        features.select("feature_id", "lon", "lat"), minz, maxz))
+    df = assign_xy(explode_zooms(features.select(*cols), minz, maxz))
 
     def enc(key, pdf: pd.DataFrame) -> pd.DataFrame:
         z, x, y = int(key[0]), int(key[1]), int(key[2])
         pdf = pdf.sort_values("feature_id").head(cap)
         px, py = tiles.tile_local_coords(
             pdf.lon.values, pdf.lat.values, z, x, y)
+        # per-tile attribute tables (MVT layer keys/values, dedup'd);
+        # include/exclude/exclude-all follow tippecanoe yaml:34-37
+        keys: list[str] = []
+        values: list[str] = []
+        kv_idx: dict[tuple[str, str], tuple[int, int]] = {}
+
+        def tag_ids(props) -> list[int]:
+            if exclude_all or not has_props or props is None:
+                return []
+            out = []
+            for k in sorted(props):
+                if include and k not in include:
+                    continue
+                if exclude and k in exclude:
+                    continue
+                v = props[k]
+                if (k, v) not in kv_idx:
+                    if k not in keys:
+                        keys.append(k)
+                    values.append(v)
+                    kv_idx[(k, v)] = (keys.index(k), len(values) - 1)
+                ki, vi = kv_idx[(k, v)]
+                out += [ki, vi]
+            return out
+
         blobs = []
         total = 0
         n = 0
-        for fid, ix, iy in zip(pdf.feature_id.values, px, py):
-            fb = encode_feature(int(fid), 1, [np.array([[ix, iy]])], [])
+        props_col = pdf.props.values if has_props else [None] * len(pdf)
+        for fid, ix, iy, pr in zip(pdf.feature_id.values, px, py, props_col):
+            fb = encode_feature(int(fid), 1, [np.array([[ix, iy]])],
+                                tag_ids(pr))
             if total + len(fb) > max_bytes:
                 break
             blobs.append(fb)
             total += len(fb)
             n += 1
-        tile = encode_layer(layer, blobs, [], [])
+        tile = encode_layer(layer, blobs, keys, values)
         return pd.DataFrame(
             [{"z": z, "x": x, "y": y, "feature_count": n, "mvt": tile}]
         )
@@ -399,6 +430,13 @@ def encode_geom_tile_batch(
     cap = settings["maximum-tile-features"]
     max_bytes = settings["maximum-tile-bytes"]
     simp = 0 if settings.get("no-line-simplification") else settings["simplification"]
+    # simplifier choice: Douglas-Peucker (default) or Visvalingam-Whyatt
+    # (tippecanoe `visvalingam`, yaml:77; area threshold ~ tol^2/2)
+    if settings.get("visvalingam"):
+        def _simplify(pts, tol):
+            return geom.visvalingam(pts, (tol * tol) / 2.0)
+    else:
+        _simplify = geom.douglas_peucker
     buffer_px = settings.get("buffer") or 5
     no_clip = bool(settings.get("no-clipping"))
     tiny = settings.get("tiny-polygon-size") or 9  # spec default ~3x3 px
@@ -440,7 +478,7 @@ def encode_geom_tile_batch(
                     continue
             else:
                 if simp and len(pts) > 4:
-                    simplified = geom.douglas_peucker(pts, float(simp))
+                    simplified = _simplify(pts, float(simp))
                     # ring-survival guard: keep the original if DP collapsed
                     # the ring below a valid polygon
                     if len(simplified) >= 4:

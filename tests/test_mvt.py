@@ -165,3 +165,60 @@ def test_encode_geom_tiles_distributed(spark):
         for f in d["features"]:
             pts = [p for part in f["geometry"] for p in part]
             assert all(-16 <= px <= mvt.EXTENT + 16 for px, py in pts)
+
+
+def test_props_tags_roundtrip_and_include_exclude(spark):
+    """Attribute plumbing: props -> MVT layer keys/values + feature tags;
+    include / exclude / exclude-all follow reference tippecanoe.yaml:34-37."""
+    feats = extract_features(synth_pages(spark, 300, partitions=4).drop("page_id"))
+    r = mvt.encode_point_tiles(feats, 0, 0).collect()[0]
+    dec = mvt.decode_tile(bytes(r.mvt))
+    assert set(dec["keys"]) == {"lang", "city"}
+    # reconstruct a feature's props and compare with the source row
+    src = {row.feature_id: row.props for row in feats.collect()}
+    f = dec["features"][0]
+    tags = f["tags"]
+    got = {dec["keys"][tags[i]]: dec["values"][tags[i + 1]]
+           for i in range(0, len(tags), 2)}
+    # values decode as protobuf Value msgs (string field 1) -> strip header
+    got = {k: v[2:].decode() for k, v in got.items()}
+    assert got == dict(src[f["id"]])
+
+    s = TilingSettings()
+    s["exclude-all"] = True
+    r2 = mvt.encode_point_tiles(feats, 0, 0, settings=s).collect()[0]
+    dec2 = mvt.decode_tile(bytes(r2.mvt))
+    assert dec2["keys"] == [] and all("tags" not in f for f in dec2["features"])
+
+    s3 = TilingSettings()
+    s3["include"] = ["lang"]
+    r3 = mvt.encode_point_tiles(feats, 0, 0, settings=s3).collect()[0]
+    dec3 = mvt.decode_tile(bytes(r3.mvt))
+    assert set(dec3["keys"]) == {"lang"}
+
+
+def test_visvalingam_option():
+    s = TilingSettings()
+    s["visvalingam"] = True
+    z, x, y = 2, 1, 1
+    lon_min, lat_min, lon_max, lat_max = (
+        float(v[0]) for v in tiles.tile_bounds(z, np.array([x]), np.array([y])))
+    cx, cyy = (lon_min + lon_max) / 2, (lat_min + lat_max) / 2
+    w = lon_max - lon_min
+    line = geom.wkb_linestring(np.array(
+        [[lon_min + w/4, cyy], [cx, cyy + 1e-9], [lon_max - w/4, cyy]]))
+    blob, n = mvt.encode_geom_tile_batch(z, x, y, [(1, "linestring", line)], s)
+    dec = mvt.decode_tile(blob)
+    assert len(dec["features"][0]["geometry"][0]) == 2  # tiny triangle removed
+    # a genuine corner survives visvalingam
+    corner = geom.wkb_linestring(np.array(
+        [[lon_min + w/4, cyy], [cx, cyy + w/4], [lon_max - w/4, cyy]]))
+    blob2, _ = mvt.encode_geom_tile_batch(z, x, y, [(2, "linestring", corner)], s)
+    assert len(mvt.decode_tile(blob2)["features"][0]["geometry"][0]) == 3
+
+
+def test_visvalingam_kernel():
+    line = np.array([[0., 0.], [1., 0.001], [2., 0.], [3., 5.], [4., 0.]])
+    out = geom.visvalingam(line, min_area=0.5)
+    # the 0.001-high vertex (area ~0.001) is removed; the 5-high one stays
+    assert [tuple(p) for p in out] == [(0., 0.), (2., 0.), (3., 5.), (4., 0.)]
