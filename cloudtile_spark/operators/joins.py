@@ -93,6 +93,61 @@ def pip_join(points: DataFrame, zones_pdf: pd.DataFrame) -> DataFrame:
     return cand.mapInPandas(refine, schema=out_schema)
 
 
+def pip_join_cells(
+    points: DataFrame,
+    zones_pdf: pd.DataFrame,
+    res: int = 7,
+) -> DataFrame:
+    """Exact PIP via CELL-PREFILTER EQUI-JOIN — the north star's named shape
+    (``df.join(broadcast(polys), on=cell, 'inner')`` + exact refine):
+
+      1. driver-side (zones are the small dim): each zone's bbox tile-cover
+         at resolution ``res`` -> (cell, zone_id) table, broadcast;
+      2. point side gets its cell id (pure column math) and EQUI-joins on
+         cell — unlike the range-predicate bbox join this is a hash join,
+         so it also works un-broadcast (sort-merge + AQE skew split) when
+         the zone side outgrows the broadcast threshold;
+      3. exact ray-cast refine in Arrow batches (same kernel as pip_join).
+
+    Output equals :func:`pip_join` exactly (asserted in tests + oracle).
+    """
+    spark = points.sparkSession
+    cover_rows = []
+    for _, r in zones_pdf.iterrows():
+        xmin, ymin, xmax, ymax = geom.polygon_bbox(r.ring)
+        for x, y in tiles.bbox_tile_cover(xmin, ymin, xmax, ymax, res):
+            cell_id = (int(tiles.morton(np.array([x]), np.array([y]))[0])
+                       << 5) | res
+            cover_rows.append((cell_id, int(r.zone_id)))
+    cover = spark.createDataFrame(cover_rows, "cell long, zone_id long")
+
+    from .. import cells as _cells
+
+    pts = points.withColumn("cell", F.expr(_cells.cell_sql("lon", "lat", res)))
+    cand = pts.join(F.broadcast(cover), "cell").select(
+        "feature_id", "lon", "lat", "zone_id"
+    )
+    rings = {int(r.zone_id): np.asarray(r.ring, dtype=np.float64)
+             for _, r in zones_pdf.iterrows()}
+
+    out_schema = T.StructType([
+        T.StructField("feature_id", T.LongType()),
+        T.StructField("lon", T.DoubleType()),
+        T.StructField("lat", T.DoubleType()),
+        T.StructField("zone_id", T.LongType()),
+    ])
+
+    def refine(batches):
+        for pdf in batches:
+            keep = np.zeros(len(pdf), dtype=bool)
+            for zid, grp in pdf.groupby("zone_id"):
+                keep[grp.index.values] = geom.points_in_polygon(
+                    grp.lon.values, grp.lat.values, rings[int(zid)])
+            yield pdf.loc[keep, ["feature_id", "lon", "lat", "zone_id"]]
+
+    return cand.mapInPandas(refine, schema=out_schema)
+
+
 # ---------------------------------------------------------------------------
 # kNN join (cell k-ring expansion + certified-exact fallback)
 # ---------------------------------------------------------------------------

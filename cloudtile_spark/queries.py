@@ -495,6 +495,27 @@ def _pip_poly_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "pip_cells_join",
+    _pip_poly_oracle(),
+    doc="PIP via cell-prefilter EQUI-join (the north star's named join "
+        "shape: broadcast (cell, zone) cover + hash join + ray-cast refine) "
+        "— second physical strategy, same independent oracle as "
+        "pip_poly_join",
+)
+def _pip_cells_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.joins import pip_join_cells
+    from .sources.zones import synth_zones
+
+    pts = docs_geo(spark, sf_dir).withColumnRenamed("doc_id", "feature_id")
+    res = pip_join_cells(pts, synth_zones(25), res=7)
+    return res.groupBy("zone_id").agg(
+        F.count("*").alias("n_points"),
+        F.min("feature_id").alias("min_fid"),
+        F.max("feature_id").alias("max_fid"),
+    )
+
+
 _KNN_BRUTE_ORACLE = f"""
     WITH {_GEO_CTE},
     q AS (SELECT doc_id AS query_id, lon AS qlon, lat AS qlat

@@ -118,3 +118,15 @@ def test_knn_adaptive_equals_brute_force(spark, feats):
                      .select("query_id", "feature_id", "rank").collect()))
     expect = sorted(map(tuple, _brute_knn(spark, feats, qs, 5).collect()))
     assert got == expect
+
+
+def test_pip_cells_equals_pip_bbox_path(spark, feats):
+    from cloudtile_spark.operators.joins import pip_join_cells
+
+    zones = synth_zones(25)
+    a = sorted((r.feature_id, r.zone_id)
+               for r in pip_join(feats, zones).collect())
+    for res in (5, 7, 9):
+        b = sorted((r.feature_id, r.zone_id)
+                   for r in pip_join_cells(feats, zones, res=res).collect())
+        assert a == b, f"res={res}"
