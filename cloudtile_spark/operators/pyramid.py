@@ -117,16 +117,21 @@ def capped_tile_summary(
 
     Semantics: feature_count = min(total, cap); feature_ids = the ``cap``
     smallest feature_ids in the tile. Identical output to the window path
-    (asserted in tests), but the physical plan is two HASH AGGREGATES with
-    map-side partial combine instead of two sort-shuffles:
+    (asserted in tests); the physical plan is hash aggregates, never a
+    sort shuffle.
 
-      phase 1: groupBy(z,x,y,salt)  -> per-salt sorted id prefix (<= cap)
-      phase 2: groupBy(z,x,y)       -> merge prefixes, slice to cap
+    What salting does and does NOT buy (measured, BENCH/SKEW.md):
+    collect_list partial aggregation concatenates, so shuffle bytes carry
+    every id either way. UNSALTED, the hot tile's complete id list (z0 =
+    every feature on the planet) materializes in ONE reducer's aggregation
+    buffer — an OOM long before 100 TB. SALTED, each buffer holds one
+    (tile, salt) slice and phase 2 merges <= salt*cap ids per tile:
+    reducer memory is bounded, bought with one extra exchange (~2x wall at
+    test scale, where nothing is near memory limits).
 
-    Why this matters at 100 TB: a window top-k must SORT every row of the
-    hot tile (z0 = the whole planet) on one reducer chain; here the map side
-    pre-truncates to cap ids per (tile, salt) before anything shuffles, so
-    shuffle bytes are O(tiles * salt * cap), independent of input rows.
+    The true 100 TB path for unbounded tiles is ``with_ids=False`` (pure
+    count, map-side combined, one row per tile shuffled); id lists are for
+    bounded/golden outputs.
     """
     if not with_ids:
         # counts only: min(total, cap) needs no ids at all — one hash agg

@@ -1,0 +1,53 @@
+"""spark-submit entry point (the reference's remote-execution analogue —
+ECS Fargate task, reference src/cloudtile/ecs.py:104-143 — re-pointed at
+spark-submit, which is how the north star runs at N and 4N executors).
+
+Usage (tools/make_dist.sh builds the zip):
+    spark-submit --master local[8] \
+        --py-files dist/cloudtile_spark.zip \
+        tools/submit_job.py pyramid <pages.parquet|synth:N> <minz> <maxz> <out>
+
+On a cluster the only change is --master/--deploy-mode and executor sizing
+(the Fargate memory/storage overrides of reference ecs.py:58-102 become
+--executor-memory/--executor-cores).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+from pyspark.sql import SparkSession
+
+
+def main() -> int:
+    job, src, minz, maxz, out = sys.argv[1:6]
+    spark = SparkSession.builder.appName(f"cloudtile_spark_{job}").getOrCreate()
+    # imports resolve from the --py-files zip on every executor
+    from cloudtile_spark.operators.extract import extract_features
+    from cloudtile_spark.operators.pyramid import build_pyramid
+    from cloudtile_spark.sources.pages import synth_pages
+
+    t0 = time.time()
+    if src.startswith("synth:"):
+        pages = synth_pages(spark, int(src.split(":")[1]))
+    else:
+        pages = spark.read.parquet(src)
+    feats = extract_features(pages.drop(*(
+        c for c in ("page_id",) if c in pages.columns)))
+    if job == "pyramid":
+        tiles_df = build_pyramid(feats, minz=int(minz), maxz=int(maxz),
+                                 with_ids=False)
+        tiles_df.write.mode("overwrite").partitionBy("z").parquet(out)
+        n = spark.read.parquet(out).count()
+        print(json.dumps({"job": job, "tiles": n,
+                          "sec": round(time.time() - t0, 2)}))
+    else:
+        raise SystemExit(f"unknown job {job}")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
