@@ -117,7 +117,8 @@ def encode_feature(fid: int, gtype: int, parts: Iterable[np.ndarray],
 
 
 def encode_layer(name: str, feature_blobs: list[bytes],
-                 keys: list[str], values: list[str]) -> bytes:
+                 keys: list[str], values: list[str],
+                 extent: int = EXTENT) -> bytes:
     body = bytearray()
     body += _tag(15, 0) + _varint(2)                        # version
     body += _len_field(1, name.encode())                    # name
@@ -128,7 +129,7 @@ def encode_layer(name: str, feature_blobs: list[bytes],
     for v in values:
         # Value message: string_value field 1
         body += _len_field(4, _len_field(1, v.encode()))
-    body += _tag(5, 0) + _varint(EXTENT)                    # extent
+    body += _tag(5, 0) + _varint(extent)                    # extent
     return _len_field(3, bytes(body))                       # Tile.layers
 
 
@@ -279,6 +280,9 @@ def encode_point_tiles(
     settings = settings if settings is not None else TilingSettings()
     cap = settings["maximum-tile-features"]
     max_bytes = settings["maximum-tile-bytes"]
+    # tile resolution: full-detail d => extent 2^d (tippecanoe yaml:31-33;
+    # tippecanoe default d=12 -> 4096)
+    extent = 1 << int(settings.get("full-detail") or 12)
     has_props = "props" in features.columns
     exclude_all = bool(settings.get("exclude-all"))
     include = settings.get("include")
@@ -291,7 +295,7 @@ def encode_point_tiles(
         z, x, y = int(key[0]), int(key[1]), int(key[2])
         pdf = pdf.sort_values("feature_id").head(cap)
         px, py = tiles.tile_local_coords(
-            pdf.lon.values, pdf.lat.values, z, x, y)
+            pdf.lon.values, pdf.lat.values, z, x, y, extent=extent)
         # per-tile attribute tables (MVT layer keys/values, dedup'd);
         # include/exclude/exclude-all follow tippecanoe yaml:34-37
         keys: list[str] = []
@@ -329,7 +333,7 @@ def encode_point_tiles(
             blobs.append(fb)
             total += len(fb)
             n += 1
-        tile = encode_layer(layer, blobs, keys, values)
+        tile = encode_layer(layer, blobs, keys, values, extent=extent)
         return pd.DataFrame(
             [{"z": z, "x": x, "y": y, "feature_count": n, "mvt": tile}]
         )

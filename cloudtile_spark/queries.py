@@ -1004,6 +1004,31 @@ _shared_sql(
 )
 
 _shared_sql(
+    "gamma_thinning",
+    f"""
+    WITH {_GEO_CTE},
+    px AS (SELECT doc_id,
+                  {tiles.tile_x_sql('lon', '6')} AS x,
+                  {tiles.tile_y_sql('lat', '6')} AS y,
+                  cast(floor(((lon) + 180.0) / 360.0 * pow(2.0, 6)
+                             * 256.0) as bigint) AS pixx,
+                  cast(floor(lat * 100.0) as bigint) AS pixy
+           FROM geo),
+    r AS (SELECT doc_id, x, y,
+                 row_number() OVER (PARTITION BY x, y, pixx, pixy
+                                    ORDER BY doc_id) AS rn,
+                 count(*) OVER (PARTITION BY x, y, pixx, pixy) AS n_pix
+          FROM px)
+    SELECT x, y, count(*) AS kept, min(doc_id) AS min_fid
+    FROM r
+    WHERE rn <= cast(ceil(pow(cast(n_pix as double), 0.5)) as bigint)
+    GROUP BY x, y
+    """,
+    doc="gamma dot-thinning (B10, tippecanoe.yaml:66): per pixel-bucket "
+        "keep ceil(n^(1/gamma)) features (gamma=2), deterministic by id",
+)
+
+_shared_sql(
     "generate_ids",
     f"""
     WITH {_GEO_CTE},

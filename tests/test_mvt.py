@@ -222,3 +222,15 @@ def test_visvalingam_kernel():
     out = geom.visvalingam(line, min_area=0.5)
     # the 0.001-high vertex (area ~0.001) is removed; the 5-high one stays
     assert [tuple(p) for p in out] == [(0., 0.), (2., 0.), (3., 5.), (4., 0.)]
+
+
+def test_full_detail_extent_option(spark):
+    s = TilingSettings()
+    s["full-detail"] = 9  # extent 512
+    feats = extract_features(synth_pages(spark, 200, partitions=2).drop("page_id"))
+    r = mvt.encode_point_tiles(feats, 0, 0, settings=s).collect()[0]
+    dec = mvt.decode_tile(bytes(r.mvt))
+    assert dec["extent"] == 512
+    for f in dec["features"]:
+        px, py = f["geometry"][0][0]
+        assert 0 <= px <= 512 and 0 <= py <= 512
