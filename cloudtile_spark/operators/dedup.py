@@ -133,9 +133,15 @@ def minhash_lsh_pairs_sql(d: Dialect, corpus_cte: str,
     """
     sigc = d.minhash_sig_cols("hashes")
     bands = d.band_keys(sigc)
-    band_rows = " UNION ALL ".join(
-        f"SELECT doc_id, {i} AS band, bk{i} AS key FROM sigs"
-        for i in range(BANDS)
+    # VALUES cross-join, NOT a UNION ALL of per-band selects: Spark inlines
+    # CTE references, so a 4-way union recomputes the (expensive) signature
+    # pipeline 4x; the cross-join streams each signature row once.
+    key_case = ("CASE v.band " + " ".join(
+        f"WHEN {i} THEN bk{i}" for i in range(BANDS)) + " END")
+    band_rows = (
+        f"SELECT doc_id, v.band AS band, {key_case} AS key FROM sigs "
+        f"CROSS JOIN (VALUES {', '.join(f'({i})' for i in range(BANDS))}) "
+        f"AS v(band)"
     )
     sh_distinct = d.distinct.format(l=d.shingles("text", k))
     inter = d.intersect.format(a="sa.sh", b="sb.sh")
@@ -193,26 +199,36 @@ def simhash_sql(d: Dialect, hashes: str) -> str:
 
 
 def simhash_pairs_sql(d: Dialect, corpus_cte: str,
-                      max_hamming: int = 3) -> str:
+                      max_hamming: int = 3,
+                      max_bucket: int = 100) -> str:
     """SimHash near-dup pairs: 4 x 8-bit band blocking (two sketches within
     hamming distance <= 3 of each other must agree on >= 1 of 4 bands), then
-    exact hamming verify via bit_count(xor)."""
-    bandexprs = [
-        f"((sh >> {8 * b}) & 255) + {b * 256}" for b in range(4)
-    ]
-    band_rows = " UNION ALL ".join(
-        f"SELECT doc_id, sh, {e} AS bkey FROM sketches" for e in bandexprs
+    exact hamming verify via bit_count(xor).
+
+    ``max_bucket`` guards hot band buckets (random short docs collide
+    heavily in 8-bit bands at corpus scale): oversized buckets are dropped,
+    the same documented recall trade as the MinHash path.
+    """
+    key_case = ("CASE v.band " + " ".join(
+        f"WHEN {b} THEN ((sh >> {8 * b}) & 255) + {b * 256}"
+        for b in range(4)) + " END")
+    band_rows = (
+        f"SELECT doc_id, sh, {key_case} AS bkey FROM sketches "
+        "CROSS JOIN (VALUES (0), (1), (2), (3)) AS v(band)"
     )
-    ham = f"bit_count({d.xor.format(a='x.sh', b='y.sh')})"
     return f"""
     WITH {corpus_cte},
     hashed AS (
       SELECT doc_id, {d.shingle_hashes('text', 1)} AS hashes FROM corpus),
     sketches AS (SELECT doc_id, {simhash_sql(d, 'hashes')} AS sh FROM hashed),
     b AS ({band_rows}),
+    sized AS (
+      SELECT bkey FROM b GROUP BY bkey
+      HAVING count(*) BETWEEN 2 AND {max_bucket}),
     cand AS (
       SELECT x.doc_id AS doc_a, x.sh AS sha, y.doc_id AS doc_b, y.sh AS shb
-      FROM b x JOIN b y ON x.bkey = y.bkey AND x.doc_id < y.doc_id
+      FROM b x JOIN sized s ON x.bkey = s.bkey
+      JOIN b y ON y.bkey = s.bkey AND x.doc_id < y.doc_id
       GROUP BY x.doc_id, x.sh, y.doc_id, y.sh)
     SELECT doc_a, doc_b,
            cast(bit_count({d.xor.format(a='sha', b='shb')}) as bigint)
