@@ -48,10 +48,56 @@ def read_features_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_gpkg_points(spark: SparkSession, path: str) -> DataFrame:
+    """GeoPackage point reader (reference source format, geofile.py:136).
+
+    A .gpkg is a single SQLite file — inherently a driver-side artifact
+    (like the reference treats it); rows are parsed with the stdlib
+    ``sqlite3`` and handed to Spark as a distributed frame. The geometry
+    BLOB is the public GPKG binary format: 'GP' magic, version, flags byte
+    (bit 1-3 = envelope size), srs_id, optional envelope, then standard WKB
+    (parsed by geom.wkb_parse).
+    """
+    import sqlite3
+    import struct as _struct
+
+    from .. import geom as _geom
+
+    con = sqlite3.connect(path)
+    try:
+        (table,) = con.execute(
+            "SELECT table_name FROM gpkg_contents WHERE data_type='features' "
+            "LIMIT 1"
+        ).fetchone()
+        (geom_col,) = con.execute(
+            "SELECT column_name FROM gpkg_geometry_columns WHERE table_name=?",
+            (table,),
+        ).fetchone()
+        rows = []
+        for fid, blob in con.execute(
+            f'SELECT fid, "{geom_col}" FROM "{table}"'
+        ):
+            magic, version, flags = _struct.unpack_from("<2sBB", blob, 0)
+            assert magic == b"GP", "not a GeoPackage geometry blob"
+            env_code = (flags >> 1) & 0x07
+            env_len = {0: 0, 1: 32, 2: 48, 3: 48, 4: 64}[env_code]
+            gtype, coords = _geom.wkb_parse(blob[8 + env_len:])
+            if gtype == 1:
+                rows.append((int(fid), float(coords[0, 0]),
+                             float(coords[0, 1])))
+    finally:
+        con.close()
+    return spark.createDataFrame(
+        rows, "feature_id long, lon double, lat double"
+    ).withColumn("geom_type", F.lit("point")) \
+     .withColumn("props", F.create_map().cast("map<string,string>"))
+
+
 READERS = {
     "geojson": read_geojson_points,
     "json": read_geojson_points,
     "parquet": read_features_parquet,
+    "gpkg": read_gpkg_points,
 }
 
 

@@ -182,3 +182,36 @@ def test_geojson_reader_roundtrip(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         load_features(spark, "something.shapefile")  # reference negative case
+
+
+def test_gpkg_reader(spark, tmp_path):
+    """Build a minimal real GeoPackage with stdlib sqlite3 (GP-header +
+    standard WKB blobs) and read it back through the suffix dispatcher."""
+    import sqlite3
+    import struct
+
+    from cloudtile_spark import geom as g
+    from cloudtile_spark.sources.readers import load_features
+
+    p = str(tmp_path / "pts.gpkg")
+    con = sqlite3.connect(p)
+    con.executescript("""
+        CREATE TABLE gpkg_contents (table_name TEXT, data_type TEXT);
+        CREATE TABLE gpkg_geometry_columns (table_name TEXT, column_name TEXT);
+        INSERT INTO gpkg_contents VALUES ('pts', 'features');
+        INSERT INTO gpkg_geometry_columns VALUES ('pts', 'geom');
+        CREATE TABLE pts (fid INTEGER PRIMARY KEY, geom BLOB);
+    """)
+    coords = [(i, -100.0 + i * 3.5, -40.0 + i * 2.25) for i in range(30)]
+    for fid, lon, lat in coords:
+        # GP header: magic, version 0, flags=0b00000001 (little-endian, no
+        # envelope), srs_id 4326; then plain WKB point
+        blob = struct.pack("<2sBBi", b"GP", 0, 0b00000001, 4326) \
+            + g.wkb_point(lon, lat)
+        con.execute("INSERT INTO pts VALUES (?, ?)", (fid, blob))
+    con.commit()
+    con.close()
+
+    df = load_features(spark, p)
+    got = sorted((r.feature_id, r.lon, r.lat) for r in df.collect())
+    assert got == coords
