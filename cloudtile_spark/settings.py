@@ -1,19 +1,22 @@
 """Tiling settings — driver-side validated config with the reference's
-observable semantics (reference src/cloudtile/tippecanoe.py:14-116, validated
-behaviors pinned by reference tests/test_tippecanoe.py):
+observable semantics (reference src/cloudtile/tippecanoe.py:14-116, behaviors
+pinned by reference tests/test_tippecanoe.py and mirrored in
+tests/test_settings.py):
 
-- defaults loaded from a packaged YAML (uncommented keys);
-- the FULL option universe (commented keys included) defines validity:
-  unknown key -> KeyError (reference tippecanoe.py:41-42);
-- key normalization ``_`` -> ``-`` (tippecanoe.py:39);
-- zoom ordering enforced on set, with ``maximum-zoom == "g"`` ("guess")
-  escaping the check (tippecanoe.py:44-57);
-- empty config file -> ValueError (tippecanoe.py:113-114);
-- override precedence: yaml defaults < config file < explicit kwargs
-  (tippecanoe.py:27-33, geofile.py:202-216).
+- defaults from packaged ``tiling.yaml`` (``defaults:`` mapping); the
+  ``valid-options:`` list defines the accepted key universe — unknown key
+  raises KeyError;
+- key normalization ``_`` -> ``-``;
+- zoom ordering enforced on set; ``maximum-zoom == "g"`` ("guess") escapes
+  the check;
+- empty config file raises ValueError; missing file FileNotFoundError;
+- precedence: packaged defaults < --config file (replaces wholesale) <
+  explicit kwargs.
 
-Unlike the reference these settings never become CLI argv — they parameterize
-the Spark pyramid plan directly (operators/pyramid.py).
+Config files may use either this package's ``defaults:``/flat-mapping
+format or the reference's grouped-sections yaml — both flatten to the same
+key space. Settings parameterize the Spark pyramid plan directly
+(operators/pyramid.py, operators/mvt.py); nothing becomes CLI argv.
 """
 
 from __future__ import annotations
@@ -26,63 +29,81 @@ from typing import Any, Optional
 import yaml
 
 
+def _flatten(doc: Any, path: str) -> tuple[dict[str, Any], list[str]]:
+    """Accept the packaged format ({defaults, valid-options}), a flat
+    mapping, or the reference's grouped-sections format. Returns
+    (settings, valid_keys or [])."""
+    if doc is None:
+        raise ValueError(f"{path} seems to be empty")
+    if not isinstance(doc, dict):
+        raise ValueError(f"{path}: expected a mapping")
+    if "defaults" in doc or "valid-options" in doc:
+        return dict(doc.get("defaults") or {}), list(doc.get("valid-options") or [])
+    if any(isinstance(v, dict) for v in doc.values()):
+        flat: dict[str, Any] = {}
+        for v in doc.values():
+            if isinstance(v, dict):
+                flat.update(v)
+        return flat, []
+    return dict(doc), []
+
+
+def _load_yaml(cfg_path: Optional[str]) -> tuple[dict[str, Any], list[str]]:
+    if cfg_path is None:
+        text = (files("cloudtile_spark") / "tiling.yaml").read_text()
+        return _flatten(yaml.safe_load(text), "<packaged tiling.yaml>")
+    path = Path(cfg_path).resolve()
+    if not path.exists():
+        raise FileNotFoundError(f"Config file {path} not found")
+    return _flatten(yaml.safe_load(path.read_text(encoding="utf-8")), str(path))
+
+
 class TilingSettings(UserDict):
     """Validated dict of tiling options (tippecanoe-compatible keys)."""
 
+    _VALIDATORS = {}  # key -> callable(self, value); populated below
+
     def __init__(self, cfg_path: Optional[str] = None, **kwargs: Any) -> None:
-        self._all_settings = self._read_yaml_config(read_all=True)
+        _, universe = _load_yaml(None)
+        self._valid_keys = set(universe)
         super().__init__()
-        for k, v in self._read_yaml_config(cfg_path=cfg_path).items():
-            self[k] = v
-        for k, v in kwargs.items():
-            self[k] = v
+        initial, _ = _load_yaml(cfg_path)
+        for source in (initial, kwargs):
+            for k, v in source.items():
+                self[k] = v
 
     def __repr__(self) -> str:
-        data = {k: v for k, v in self.items() if v is not False}
-        return f"TilingSettings({data})"
+        shown = {k: v for k, v in self.items() if v is not False}
+        return f"TilingSettings({shown})"
 
     def __setitem__(self, key: str, value: Any) -> None:
         key = key.replace("_", "-")
-        if key not in self._all_settings:
+        if key not in self._valid_keys:
             raise KeyError(f"Setting {key} is not a valid tiling setting.")
-        if key == "maximum-zoom" and value != "g":
-            if "minimum-zoom" in self and value < self["minimum-zoom"]:
-                raise ValueError("Maximum zoom cannot be less than minimum zoom.")
-        if key == "minimum-zoom":
-            if "maximum-zoom" in self and self["maximum-zoom"] != "g":
-                if value > self["maximum-zoom"]:
-                    raise ValueError(
-                        "Minimum zoom cannot be greater than maximum zoom."
-                    )
+        check = self._VALIDATORS.get(key)
+        if check is not None:
+            check(self, value)
         super().__setitem__(key, value)
 
     def override_settings(self, **kwargs: Any) -> None:
         for k, v in kwargs.items():
             self[k] = v
 
-    @staticmethod
-    def _parse_settings_dict(settings: dict[str, Any]) -> dict[str, Any]:
-        flat: dict[str, Any] = {}
-        for v in settings.values():
-            if isinstance(v, dict):
-                flat.update(v)
-        return flat
 
-    @staticmethod
-    def _read_yaml_config(
-        cfg_path: Optional[str] = None, read_all: bool = False
-    ) -> dict[str, Any]:
-        if cfg_path is None:
-            data = (files("cloudtile_spark") / "tiling.yaml").read_text()
-            path: Any = "<packaged tiling.yaml>"
-        else:
-            path = Path(cfg_path).resolve()
-            if not path.exists():
-                raise FileNotFoundError(f"Config file {path} not found")
-            data = path.read_text(encoding="utf-8")
-        if read_all:
-            data = data.replace("  # ", "  ")
-        config_dict = yaml.safe_load(data)
-        if config_dict is None:
-            raise ValueError(f"{path} seems to be empty")
-        return TilingSettings._parse_settings_dict(config_dict)
+def _check_max_zoom(s: TilingSettings, value: Any) -> None:
+    if value == "g":  # "guess": resolved by guess_max_zoom at plan time
+        return
+    if "minimum-zoom" in s and value < s["minimum-zoom"]:
+        raise ValueError("Maximum zoom cannot be less than minimum zoom.")
+
+
+def _check_min_zoom(s: TilingSettings, value: Any) -> None:
+    maxz = s.get("maximum-zoom")
+    if maxz is not None and maxz != "g" and value > maxz:
+        raise ValueError("Minimum zoom cannot be greater than maximum zoom.")
+
+
+TilingSettings._VALIDATORS = {
+    "maximum-zoom": _check_max_zoom,
+    "minimum-zoom": _check_min_zoom,
+}
