@@ -166,12 +166,15 @@ def main(argv: Optional[list[str]] = None) -> int:
         tiles_df.write.mode("overwrite").partitionBy("z").parquet(out)
         print(f"wrote tiles table: {out}")
         if args.pmtiles:
-            from .operators.pmtiles import write_pmtiles
+            from .operators.pmtiles import tilestats, write_pmtiles
             rows = [(r.z, r.x, r.y, bytes(r.mvt))
                     for r in spark.read.parquet(out)
                     .select("z", "x", "y", "mvt").collect()]
             pm = f"{name}.pmtiles"
-            write_pmtiles(pm, rows, settings["minimum-zoom"], maxz)
+            meta = {"name": stem,
+                    "tilestats": tilestats(feats, settings)}
+            write_pmtiles(pm, rows, settings["minimum-zoom"], maxz,
+                          metadata=meta)
             print(f"wrote archive: {pm}")
         return 0
     finally:

@@ -283,7 +283,15 @@ def encode_point_tiles(
     # tile resolution: full-detail d => extent 2^d (tippecanoe yaml:31-33;
     # tippecanoe default d=12 -> 4096)
     extent = 1 << int(settings.get("full-detail") or 12)
+    # in-tile ordering (tippecanoe yaml:85-94): default ascending
+    # feature_id (== preserve-input-order for our monotone ids); order-by /
+    # order-descending-by sort by a props attribute, id-tiebroken so output
+    # stays deterministic at any parallelism
+    order_key = settings.get("order-by") or settings.get("order-descending-by")
+    order_desc = bool(settings.get("order-descending-by"))
     has_props = "props" in features.columns
+    if order_key and not has_props:
+        raise ValueError("order-by requires a props column")
     exclude_all = bool(settings.get("exclude-all"))
     include = settings.get("include")
     exclude = settings.get("exclude")
@@ -293,7 +301,14 @@ def encode_point_tiles(
 
     def enc(key, pdf: pd.DataFrame) -> pd.DataFrame:
         z, x, y = int(key[0]), int(key[1]), int(key[2])
-        pdf = pdf.sort_values("feature_id").head(cap)
+        if order_key:
+            pdf = pdf.assign(
+                _ok=pdf.props.map(lambda p: (p or {}).get(order_key, ""))
+            ).sort_values(["_ok", "feature_id"],
+                          ascending=[not order_desc, True])
+            pdf = pdf.head(cap)
+        else:
+            pdf = pdf.sort_values("feature_id").head(cap)
         px, py = tiles.tile_local_coords(
             pdf.lon.values, pdf.lat.values, z, x, y, extent=extent)
         # per-tile attribute tables (MVT layer keys/values, dedup'd);

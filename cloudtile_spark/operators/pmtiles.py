@@ -112,6 +112,54 @@ def _decode_directory(buf: bytes) -> list[tuple[int, int, int, int]]:
     return list(zip(tids, offs, lens, rls))
 
 
+def tilestats(features_df, settings=None, layer: str = "features") -> dict:
+    """tippecanoe-style ``tilestats`` metadata (the tile-stats-* options,
+    reference tippecanoe.yaml:113-116): per-layer attribute inventory with
+    sampled values, computed as Spark aggregations over the feature table
+    (explode the props map -> per-key count + bounded distinct sample).
+
+    Honors: no-tile-stats (returns {}), tile-stats-attributes-limit,
+    tile-stats-values-limit (tippecanoe defaults 1000 / 100).
+    """
+    from pyspark.sql import functions as F
+
+    from ..settings import TilingSettings
+
+    settings = settings if settings is not None else TilingSettings()
+    if settings.get("no-tile-stats"):
+        return {}
+    attr_limit = int(settings.get("tile-stats-attributes-limit") or 1000)
+    val_limit = int(settings.get("tile-stats-values-limit") or 100)
+    if "props" not in features_df.columns:
+        attributes = []
+    else:
+        rows = (
+            features_df.select(F.explode("props").alias("k", "v"))
+            .groupBy("k")
+            .agg(F.count("*").alias("n"),
+                 F.slice(F.sort_array(F.collect_set("v")), 1, val_limit)
+                  .alias("vals"))
+            .orderBy("k")
+            .limit(attr_limit)
+            .collect()
+        )
+        attributes = [
+            {"attribute": r.k, "count": r.n, "type": "string",
+             "values": list(r.vals)}
+            for r in rows
+        ]
+    return {
+        "layerCount": 1,
+        "layers": [{
+            "layer": layer,
+            "count": features_df.count(),
+            "geometry": "Point",
+            "attributeCount": len(attributes),
+            "attributes": attributes,
+        }],
+    }
+
+
 def write_pmtiles(
     path: str,
     tile_rows: list[tuple[int, int, int, bytes]],

@@ -94,3 +94,50 @@ def test_pmtiles_tile_id_spec_values():
     ids = {pmtiles.tile_id(1, x, y) for x in (0, 1) for y in (0, 1)}
     assert ids == {1, 2, 3, 4}
     assert pmtiles.tile_id(2, 0, 0) == 5
+
+
+def test_tilestats_metadata_in_archive(tmp_path, spark, monkeypatch):
+    from cloudtile_spark.sources.pages import synth_pages
+
+    monkeypatch.chdir(tmp_path)
+    synth_pages(spark, 200, partitions=2).drop("page_id") \
+        .write.parquet(str(tmp_path / "p.parquet"))
+    assert main(["convert", "single-step", str(tmp_path / "p.parquet"),
+                 "0", "2", "--pmtiles", "--cores", "2",
+                 "--tc-kwargs", "tile-stats-values-limit=3"]) == 0
+    arch = pmtiles.read_pmtiles(str(tmp_path / "p-0-2.pmtiles"))
+    ts = arch["metadata"]["tilestats"]
+    assert ts["layers"][0]["count"] == 200
+    attrs = {a["attribute"]: a for a in ts["layers"][0]["attributes"]}
+    assert set(attrs) == {"lang", "city"}
+    assert attrs["lang"]["count"] == 200
+    assert len(attrs["lang"]["values"]) == 3  # values-limit honored
+    # no-tile-stats disables
+    assert main(["convert", "single-step", str(tmp_path / "p.parquet"),
+                 "0", "2", "--pmtiles", "--cores", "2", "--suffix", "nostats",
+                 "--tc-kwargs", "no-tile-stats=true"]) == 0
+    arch2 = pmtiles.read_pmtiles(str(tmp_path / "p-0-2-nostats.pmtiles"))
+    assert arch2["metadata"]["tilestats"] == {}
+
+
+def test_order_by_option(spark):
+    from cloudtile_spark.operators.extract import extract_features
+    from cloudtile_spark.operators.mvt import decode_tile, encode_point_tiles
+    from cloudtile_spark.settings import TilingSettings
+    from cloudtile_spark.sources.pages import synth_pages
+
+    feats = extract_features(synth_pages(spark, 120, partitions=2)
+                             .drop("page_id"))
+    s = TilingSettings()
+    s["order-descending-by"] = "lang"
+    s["maximum-tile-features"] = 30
+    r = encode_point_tiles(feats, 0, 0, settings=s).collect()[0]
+    dec = decode_tile(bytes(r.mvt))
+    # cap kept the 30 LAST-langs-first features: decode each feature's lang
+    langs = []
+    for f in dec["features"]:
+        tags = f["tags"]
+        kv = {dec["keys"][tags[i]]: dec["values"][tags[i + 1]][2:].decode()
+              for i in range(0, len(tags), 2)}
+        langs.append(kv["lang"])
+    assert set(langs) <= {"pt", "fr"} and "pt" in langs  # desc order kept tail langs
