@@ -24,7 +24,6 @@ Geometry semantics folded into the encoder (tippecanoe option parity):
 
 from __future__ import annotations
 
-import struct
 from typing import Iterable
 
 import numpy as np
