@@ -863,6 +863,46 @@ def _events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "ts_range_join",
+    """
+    WITH buckets AS (
+      SELECT n_nationkey AS bucket_id,
+             CAST(epoch(TIMESTAMP '2024-01-01 00:00:00') AS BIGINT)
+               + n_nationkey * 21600 AS lo,
+             CAST(epoch(TIMESTAMP '2024-01-01 00:00:00') AS BIGINT)
+               + (n_nationkey + 1) * 21600 AS hi
+      FROM nation)
+    SELECT b.bucket_id, count(*) AS n, min(e.event_id) AS min_event
+    FROM events e JOIN buckets b
+      ON CAST(epoch(e.ts) AS BIGINT) >= b.lo
+     AND CAST(epoch(e.ts) AS BIGINT) < b.hi
+    GROUP BY b.bucket_id
+    """,
+    doc="range/interval join on the timestamp axis (SURVEY §2.C: warc_ts "
+        "interval join): broadcast interval dimension + range predicate",
+)
+def _ts_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH buckets AS (
+          SELECT n_nationkey AS bucket_id,
+                 CAST(unix_timestamp(TIMESTAMP '2024-01-01 00:00:00') AS BIGINT)
+                   + n_nationkey * 21600 AS lo,
+                 CAST(unix_timestamp(TIMESTAMP '2024-01-01 00:00:00') AS BIGINT)
+                   + (n_nationkey + 1) * 21600 AS hi
+          FROM nation)
+        SELECT /*+ BROADCAST(b) */ b.bucket_id, count(*) AS n,
+               min(e.event_id) AS min_event
+        FROM events e JOIN b
+          ON CAST(unix_timestamp(e.ts) AS BIGINT) >= b.lo
+         AND CAST(unix_timestamp(e.ts) AS BIGINT) < b.hi
+        GROUP BY b.bucket_id
+        """.replace("JOIN b", "JOIN buckets b")
+    )
+
+
 _shared_sql(
     "set_ops_reconcile",
     """
