@@ -559,6 +559,22 @@ def _knn_cell_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 _shared_sql(
+    "dedup_keep_best",
+    """
+    WITH groups AS (
+      SELECT md5(text) AS h, doc_id, n_chars,
+             row_number() OVER (PARTITION BY md5(text)
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents)
+    SELECT h AS text_md5, doc_id AS keeper_id, n_chars AS keeper_chars
+    FROM groups WHERE rn = 1
+    """,
+    doc="dedup keeper POLICY: keep the highest-quality duplicate (longest "
+        "text, id-tiebroken) instead of min-id — the policy knob real "
+        "training pipelines turn",
+)
+
+_shared_sql(
     "dedup_exact",
     """
     SELECT md5(text) AS text_md5, min(doc_id) AS keeper_id, count(*) AS n
