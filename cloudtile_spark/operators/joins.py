@@ -152,6 +152,60 @@ def pip_join_cells(
 # kNN join (cell k-ring expansion + certified-exact fallback)
 # ---------------------------------------------------------------------------
 
+def _ring_bound_sql(ring: int, n: str, deg: str) -> str:
+    """SQL expr: conservative lower bound (meters) on the distance from a
+    query point inside cell (cx, cy) to the OUTSIDE of its k-ring.
+
+    All four terms are exact spherical geometry, so no flat-earth safety
+    factor is needed (a 1-2e-3 margin absorbs double rounding only):
+
+    - east/west: distance from the query to the great circle containing the
+      ring's boundary meridian, R * asin(|sin(dlon)| * cos(qlat)).  Any point
+      outside the ring's longitude span lies in the opposite hemisphere of at
+      least one boundary-meridian plane (span < 180 deg), so the geodesic to
+      it crosses that great circle — the plane distance is a true lower
+      bound at every latitude.  (The previous locally-flat
+      ``dlon * cos(lat) * 0.95`` OVER-estimates near the poles: the true
+      ratio asin(sin d * cos phi)/(d * cos phi) drops below 0.95 for
+      d ~ 40 deg, phi ~ 80 deg, which could certify an inexact result.)
+    - north/south: distance to the boundary parallel along the meridian,
+      R * |dlat| — exact, since the nearest point of a latitude circle is
+      due north/south.
+    - if the ring wraps the full globe in x (coarse res), the east/west
+      boundary does not exist -> Infinity (lat terms alone constrain).
+
+    ``n`` and ``deg`` are SQL sub-expressions (cells per side, degrees per
+    cell) so the same builder serves fixed-res (constants) and adaptive
+    (res-dependent columns) callers.
+    """
+    west = f"(cx - {ring}) * {deg} - 180.0"
+    east = f"(cx + {ring} + 1) * {deg} - 180.0"
+    north_lat = (
+        f"degrees(atan(sinh(pi() * (1.0 - 2.0 * (cy - {ring}) / ({n})))))"
+    )
+    south_lat = (
+        f"degrees(atan(sinh(pi() * (1.0 - 2.0 * (cy + {ring} + 1) / ({n})))))"
+    )
+    m_per_deg = f"(radians(1.0) * {EARTH_R})"
+    inf = "cast('Infinity' as double)"
+    meridian = (
+        "({R} * asin(least(1.0, abs(sin(radians(qlon - ({m})))) "
+        "* cos(radians(qlat)))))"
+    )
+    wrap_guard = f"{2 * ring + 1} >= ({n})"
+    return (
+        f"0.999 * least("
+        f"  case when {wrap_guard} then {inf}"
+        f"       else {meridian.format(R=EARTH_R, m=west)} end,"
+        f"  case when {wrap_guard} then {inf}"
+        f"       else {meridian.format(R=EARTH_R, m=east)} end,"
+        f"  case when cy - {ring} <= 0 then {inf}"
+        f"       else (({north_lat}) - qlat) * {m_per_deg} end,"
+        f"  case when cy + {ring} + 1 >= ({n}) then {inf}"
+        f"       else (qlat - ({south_lat})) * {m_per_deg} end)"
+    )
+
+
 def _with_cell_xy(df: DataFrame, lon: str, lat: str, res: int) -> DataFrame:
     return df.withColumn("cx", F.expr(tiles.tile_x_sql(lon, str(res)))) \
              .withColumn("cy", F.expr(tiles.tile_y_sql(lat, str(res))))
@@ -207,25 +261,9 @@ def knn_join(
     )
 
     # --- exactness certificate -------------------------------------------
-    # conservative (locally-flat, 0.95 safety) lower bound of the distance
-    # from the query point to the k-ring outer boundary
-    deg = 360.0 / n
-    west = f"(cx - {ring}) * {deg} - 180.0"
-    east = f"(cx + {ring} + 1) * {deg} - 180.0"
-    # mercator y -> lat: lat = degrees(atan(sinh(pi*(1 - 2*y/n))))
-    north_lat = f"degrees(atan(sinh(pi() * (1.0 - 2.0 * (cy - {ring}) / {n}.0))))"
-    south_lat = f"degrees(atan(sinh(pi() * (1.0 - 2.0 * (cy + {ring} + 1) / {n}.0))))"
-    coslat = "cos(radians(qlat))"
-    m_per_deg = f"(radians(1.0) * {EARTH_R})"
-    bound = (
-        f"0.95 * least("
-        f"  (qlon - ({west})) * {m_per_deg} * {coslat},"
-        f"  (({east}) - qlon) * {m_per_deg} * {coslat},"
-        f"  case when cy - {ring} <= 0 then cast('Infinity' as double)"
-        f"       else (({north_lat}) - qlat) * {m_per_deg} end,"
-        f"  case when cy + {ring} + 1 >= {n} then cast('Infinity' as double)"
-        f"       else (qlat - ({south_lat})) * {m_per_deg} end)"
-    )
+    # exact-spherical lower bound of the distance from the query point to
+    # the k-ring outer boundary (see _ring_bound_sql)
+    bound = _ring_bound_sql(ring, f"{n}.0", str(360.0 / n))
 
     per_q = topk.groupBy("query_id", "qlon", "qlat", "cx", "cy").agg(
         F.count("*").alias("n_cand"),
@@ -346,8 +384,12 @@ def knn_join_adaptive(
             F.row_number().over(
                 Window.partitionBy("query_id").orderBy(
                     # finest qualifying res first; else the coarsest level
+                    # (+qres ascending: smallest res = biggest cells, so a
+                    # sparse query gets the widest ring — `- qres` here
+                    # silently picked the FINEST, near-empty ring and
+                    # brute-forced more than designed)
                     F.when(F.col("ring_cnt") >= target, -F.col("qres"))
-                     .otherwise(F.lit(10_000) - F.col("qres"))
+                     .otherwise(F.lit(10_000) + F.col("qres"))
                 )
             ),
         )
@@ -389,24 +431,9 @@ def knn_join_adaptive(
     topk = cand.withColumn("rank", F.row_number().over(w)) \
                .filter(F.col("rank") <= k).persist()
 
-    # 4. certificate with res-dependent geometry (n = 2^res as a column)
-    deg = "(360.0 / pow(2.0, res))"
-    nf = "pow(2.0, res)"
-    west = f"(cx - {ring}) * {deg} - 180.0"
-    east = f"(cx + {ring} + 1) * {deg} - 180.0"
-    north_lat = f"degrees(atan(sinh(pi() * (1.0 - 2.0 * (cy - {ring}) / {nf}))))"
-    south_lat = f"degrees(atan(sinh(pi() * (1.0 - 2.0 * (cy + {ring} + 1) / {nf}))))"
-    coslat = "cos(radians(qlat))"
-    m_per_deg = f"(radians(1.0) * {EARTH_R})"
-    bound = (
-        f"0.95 * least("
-        f"  (qlon - ({west})) * {m_per_deg} * {coslat},"
-        f"  (({east}) - qlon) * {m_per_deg} * {coslat},"
-        f"  case when cy - {ring} <= 0 then cast('Infinity' as double)"
-        f"       else (({north_lat}) - qlat) * {m_per_deg} end,"
-        f"  case when cy + {ring} + 1 >= {nf} then cast('Infinity' as double)"
-        f"       else (qlat - ({south_lat})) * {m_per_deg} end)"
-    )
+    # 4. certificate with res-dependent geometry (n = 2^res as a column);
+    # exact-spherical bound, see _ring_bound_sql
+    bound = _ring_bound_sql(ring, "pow(2.0, res)", "(360.0 / pow(2.0, res))")
     per_q = topk.groupBy("query_id", "qlat", "qlon", "res", "cx", "cy").agg(
         F.count("*").alias("n_cand"), F.max("dist").alias("kth_dist"),
     ).withColumn("bound_m", F.expr(bound))

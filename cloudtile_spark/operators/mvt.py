@@ -477,7 +477,9 @@ def encode_geom_tile_batch(
             parts = [pts.astype(np.int64)]
         elif gcode == 2:
             if simp:
-                pts = geom.douglas_peucker(pts, float(simp))
+                # honor the visvalingam setting for lines too (tippecanoe
+                # applies the chosen simplifier to both geometries)
+                pts = _simplify(pts, float(simp))
             parts_f = ([pts] if no_clip
                        else geom.clip_line_to_rect(pts, lo, lo, hi, hi))
             parts = [p.round().astype(np.int64) for p in parts_f]

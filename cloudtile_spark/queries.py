@@ -215,7 +215,7 @@ _shared_sql(
                  {tiles.tile_y_sql('g.lat', '5')} AS y
           FROM geo g JOIN documents d ON d.doc_id = g.doc_id)
     SELECT x, y,
-           sum(n_chars) AS sum_chars,
+           cast(sum(n_chars) as bigint) AS sum_chars,
            max(n_chars) AS max_chars,
            cast(sum(n_chars) as double) / cast(count(*) as double) AS mean_chars,
            count(distinct lang) AS n_langs
@@ -794,7 +794,9 @@ _init_ann_lsh()
     """
     SELECT event_type,
            CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
-           count(*) AS n, sum(cast(round(value * 100, 0) as bigint)) AS value_cents
+           count(*) AS n,
+           cast(sum(cast(round(value * 100, 0) as bigint)) as bigint)
+             AS value_cents
     FROM events GROUP BY event_type, date_trunc('hour', ts)
     """,
     doc="tumbling-window aggregation (batch twin of the streaming op)",
@@ -806,7 +808,9 @@ def _events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type,
                CAST(unix_timestamp(date_trunc('hour', ts)) AS BIGINT)
                  AS hour_epoch,
-               count(*) AS n, sum(cast(round(value * 100, 0) as bigint)) AS value_cents
+               count(*) AS n,
+               cast(sum(cast(round(value * 100, 0) as bigint)) as bigint)
+                 AS value_cents
         FROM events GROUP BY event_type, date_trunc('hour', ts)
         """
     )
@@ -824,8 +828,9 @@ def _events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     t AS (
       SELECT user_id,
-             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS UNBOUNDED PRECEDING) AS session_id
+             cast(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) as bigint)
+               AS session_id
       FROM s)
     SELECT user_id, session_id, count(*) AS n_events
     FROM t GROUP BY user_id, session_id
@@ -845,8 +850,9 @@ def _events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         t AS (
           SELECT user_id,
-                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS UNBOUNDED PRECEDING) AS session_id
+                 cast(sum(new_s) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) as bigint) AS session_id
           FROM s)
         SELECT user_id, session_id, count(*) AS n_events
         FROM t GROUP BY user_id, session_id
@@ -858,7 +864,8 @@ def _events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_json_props",
     """
     SELECT event_type,
-           sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           cast(sum(CAST(json_extract(props, '$.k') AS BIGINT)) as bigint)
+             AS sum_k,
            count(*) AS n
     FROM events WHERE CAST(json_extract(props, '$.k') AS BIGINT) % 2 = 0
     GROUP BY event_type
@@ -871,7 +878,8 @@ def _events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT event_type,
-               sum(CAST(get_json_object(props, '$.k') AS BIGINT)) AS sum_k,
+               cast(sum(CAST(get_json_object(props, '$.k') AS BIGINT))
+                    as bigint) AS sum_k,
                count(*) AS n
         FROM events WHERE CAST(get_json_object(props, '$.k') AS BIGINT) % 2 = 0
         GROUP BY event_type
@@ -987,12 +995,18 @@ _shared_sql(
 # summation-order ulp drift and round-half boundaries.
 _CENTS_PRICE = "cast(round(l_extendedprice * 100, 0) as bigint)"
 _CENTS_DISC = "cast(round(l_discount * 100, 0) as bigint)"
-_REVENUE_CENTS = f"sum({_CENTS_PRICE} * (100 - {_CENTS_DISC}))"
+# Outer CAST(... AS BIGINT): DuckDB types integer sum() as HUGEINT (int128)
+# while Spark emits BIGINT; the driver's canonicalization hashes the two
+# differently even when values agree.  Cast every integer-sum output on both
+# dialects (VERDICT r01 "What's wrong" #1).
+_REVENUE_CENTS = (
+    f"cast(sum({_CENTS_PRICE} * (100 - {_CENTS_DISC})) as bigint)"
+)
 
 _TPCH_Q1 = f"""
 SELECT l_returnflag, l_linestatus,
        cast(sum(l_quantity) as bigint) AS sum_qty,
-       sum({_CENTS_PRICE}) AS base_price_cents,
+       cast(sum({_CENTS_PRICE}) as bigint) AS base_price_cents,
        {_REVENUE_CENTS} AS disc_price_c100,
        count(*) AS count_order
 FROM lineitem

@@ -217,6 +217,23 @@ def test_visvalingam_option():
     assert len(mvt.decode_tile(blob2)["features"][0]["geometry"][0]) == 3
 
 
+def test_visvalingam_applies_to_linestrings():
+    # Pin that the `visvalingam` setting drives LINESTRING simplification,
+    # not just polygons: a shallow-but-wide midpoint vertex (perp distance
+    # ~5px < tol=10, triangle area ~2500px^2 >> tol^2/2=50) is dropped by
+    # Douglas-Peucker yet kept by Visvalingam-Whyatt.
+    line = geom.wkb_linestring(np.array(
+        [[-45.0, 0.0], [0.0, 0.44], [45.0, 0.0]]))
+    s_dp = TilingSettings()
+    blob_dp, _ = mvt.encode_geom_tile_batch(0, 0, 0, [(1, "linestring", line)], s_dp)
+    assert len(mvt.decode_tile(blob_dp)["features"][0]["geometry"][0]) == 2
+
+    s_vw = TilingSettings()
+    s_vw["visvalingam"] = True
+    blob_vw, _ = mvt.encode_geom_tile_batch(0, 0, 0, [(1, "linestring", line)], s_vw)
+    assert len(mvt.decode_tile(blob_vw)["features"][0]["geometry"][0]) == 3
+
+
 def test_visvalingam_kernel():
     line = np.array([[0., 0.], [1., 0.001], [2., 0.], [3., 5.], [4., 0.]])
     out = geom.visvalingam(line, min_area=0.5)

@@ -37,6 +37,37 @@ def canon_value(v) -> str:
     return str(v)
 
 
+def type_family(t: str) -> str:
+    """Collapse a Spark simpleString / Arrow type string into a comparable
+    family so HUGEINT-vs-BIGINT style mismatches fail locally (the driver's
+    canonicalization hashes types, not just string values — round-1 lesson:
+    7 green-local queries were red on the driver via uncast integer sums)."""
+    t = t.lower().replace(" ", "")
+    # the driver compares via pandas frames, so int widths <= 64 render
+    # identically and are NOT a mismatch; HUGEINT (arrow decimal128(38,0))
+    # and DECIMAL are — they convert to float64 / Decimal objects and hash
+    # differently.
+    if t in ("tinyint", "int8", "smallint", "int16", "int", "integer",
+             "int32", "bigint", "int64", "long", "uint8", "uint16",
+             "uint32", "uint64"):
+        return "int"
+    if t == "decimal128(38,0)" or t in ("hugeint", "int128"):
+        return "i128"
+    if t.startswith(("decimal", "numeric")):
+        return "dec"
+    if t in ("float", "float32", "real", "double", "float64"):
+        return "float"
+    if "string" in t or t == "utf8" or t == "large_utf8":
+        return "str"
+    if t.startswith("timestamp"):
+        return "ts"
+    if t in ("bool", "boolean"):
+        return "bool"
+    if t.startswith(("binary", "large_binary")):
+        return "bin"
+    return t
+
+
 def table_hash(cols: list[str], rows: list[tuple]) -> tuple[str, int]:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     lines = sorted(
@@ -63,6 +94,8 @@ def main() -> int:
             sdf = q.spark_fn(spark, sf_dir)
             srows = [tuple(r) for r in sdf.collect()]
             scols = [f.lower() for f in sdf.columns]
+            stypes = {f.name.lower(): type_family(f.dataType.simpleString())
+                      for f in sdf.schema.fields}
             sh, sn = table_hash(scols, srows)
         except Exception as e:
             failures.append(name)
@@ -72,6 +105,9 @@ def main() -> int:
             print(f"ok   {name}: rows={sn} (rows-only, no oracle)")
             continue
         try:
+            atbl = con.execute(q.oracle).arrow()
+            dtypes = {n.lower(): type_family(str(f.type))
+                      for n, f in zip(atbl.schema.names, atbl.schema)}
             res = con.execute(q.oracle)
             dcols = [d[0].lower() for d in res.description]
             drows = res.fetchall()
@@ -83,6 +119,11 @@ def main() -> int:
         if sorted(scols) != sorted(dcols):
             failures.append(name)
             print(f"FAIL {name}: schema {sorted(scols)} vs {sorted(dcols)}")
+        elif stypes != dtypes:
+            failures.append(name)
+            diff = {c: (stypes.get(c), dtypes.get(c))
+                    for c in stypes if stypes.get(c) != dtypes.get(c)}
+            print(f"FAIL {name}: dtype mismatch spark-vs-duck {diff}")
         elif sn != dn:
             failures.append(name)
             print(f"FAIL {name}: rowcount {sn} vs {dn}")
