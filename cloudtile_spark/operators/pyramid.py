@@ -246,7 +246,14 @@ def density_capped_summary(
     order = (density ASC, feature_id ASC), deterministic at any parallelism.
 
     Plan: one hash-agg for the density table (small: one row per non-empty
-    fine cell), broadcast-friendly join back, then window top-k per tile.
+    fine cell), join back, then a SALTED two-phase top-k per tile — same
+    shape as capped_tile_summary. An unsalted window here would sort the z0
+    hot tile (every feature on the planet) on one reducer chain; instead
+    phase 1 takes each (tile, salt) slice's top-``cap`` by (density,
+    feature_id) and phase 2 merges <= salt_buckets * cap structs per tile,
+    so reducer memory is bounded at any input size. Top-cap of a union
+    equals top-cap of the union of per-slice top-caps, so the kept set is
+    identical to the window plan (asserted in tests).
     """
     fine = assign_xy(
         features.withColumn("z", F.lit(z + density_res_offset))
@@ -254,12 +261,26 @@ def density_capped_summary(
     dens = fine.groupBy("fx", "fy").agg(F.count("*").alias("density"))
     with_d = fine.join(dens, ["fx", "fy"]).drop("fx", "fy")
     df = assign_xy(with_d.withColumn("z", F.lit(z)))
-    w = Window.partitionBy("z", "x", "y").orderBy("density", "feature_id")
-    kept = df.withColumn("_rn", F.row_number().over(w)) \
-             .filter(F.col("_rn") <= cap).drop("_rn")
-    return kept.groupBy("z", "x", "y").agg(
-        F.count("*").alias("feature_count"),
-        F.sort_array(F.collect_list("feature_id")).alias("feature_ids"),
+    salt = (F.col("feature_id") % DEFAULT_SALT_BUCKETS).cast("int")
+    part = (
+        df.groupBy("z", "x", "y", salt.alias("_salt"))
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(F.struct("density", "feature_id"))),
+                1, cap,
+            ).alias("_top")
+        )
+    )
+    merged = part.groupBy("z", "x", "y").agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("_top"))), 1, cap)
+         .alias("_kept")
+    )
+    return merged.select(
+        "z", "x", "y",
+        F.size("_kept").cast("long").alias("feature_count"),
+        F.sort_array(F.expr("transform(_kept, s -> s.feature_id)"))
+         .alias("feature_ids"),
     ).withColumn(
         "checksum", F.sha2(F.concat_ws(",", F.col("feature_ids")), 256)
     )

@@ -558,21 +558,57 @@ def _knn_cell_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Web-scale text ops over `documents` (training-data pipeline operators)
 # ===========================================================================
 
-_shared_sql(
-    "dedup_keep_best",
-    """
-    WITH groups AS (
-      SELECT md5(text) AS h, doc_id, n_chars,
-             row_number() OVER (PARTITION BY md5(text)
-                                ORDER BY n_chars DESC, doc_id) AS rn
-      FROM documents)
-    SELECT h AS text_md5, doc_id AS keeper_id, n_chars AS keeper_chars
-    FROM groups WHERE rn = 1
-    """,
-    doc="dedup keeper POLICY: keep the highest-quality duplicate (longest "
-        "text, id-tiebroken) instead of min-id — the policy knob real "
-        "training pipelines turn",
-)
+# dedup keeper POLICY over NEAR-dup clusters. Grouping on md5(raw text)
+# makes any quality ordering a no-op (identical text => identical length),
+# so the cluster key is a boilerplate-stripped, whitespace-collapsed,
+# case-folded fingerprint: members of a cluster then genuinely differ in
+# raw n_chars and the policy (keep the most complete = longest member)
+# selects a keeper that is NOT the min-id member (planted variants carry
+# doc_id + 1e6, so every multi-member cluster picks a high-id keeper —
+# pinned in tests). Runs over the planted corpus (documents + every 3rd
+# doc re-emitted with trailing boilerplate) shared with the near-dup
+# suite in operators/dedup.py.
+_KEEP_BEST_BODY = """
+    WITH {corpus},
+    n AS (
+      SELECT doc_id, length(text) AS n_chars,
+             md5(lower(regexp_replace(
+                 regexp_replace(text, '( extra trailing)+$', ''),
+                 '{ws}', ' '{gflag}))) AS h
+      FROM corpus),
+    r AS (
+      SELECT h, doc_id, n_chars,
+             row_number() OVER (PARTITION BY h
+                                ORDER BY n_chars DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY h) AS group_n
+      FROM n)
+    SELECT h AS cluster_key, doc_id AS keeper_id,
+           n_chars AS keeper_chars, cast(group_n as bigint) AS group_n
+    FROM r WHERE rn = 1
+"""
+
+
+def _init_keep_best() -> None:
+    from .operators import dedup as dd
+
+    oracle = _KEEP_BEST_BODY.format(
+        corpus=dd.PLANTED_CORPUS_CTE, ws="\\s+", gflag=", 'g'")
+    spark_sql = _KEEP_BEST_BODY.format(
+        corpus=dd.PLANTED_CORPUS_CTE, ws="\\\\s+", gflag="")
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        load_views(spark, sf_dir)
+        return spark.sql(spark_sql)
+
+    REGISTRY["dedup_keep_best"] = Query(
+        "dedup_keep_best", fn, oracle,
+        "dedup keeper POLICY over near-dup clusters (boilerplate-stripped "
+        "normalized-hash key): keep the most complete member, not min-id "
+        "— the policy knob real training pipelines turn",
+    )
+
+
+_init_keep_best()
 
 _shared_sql(
     "dedup_exact",

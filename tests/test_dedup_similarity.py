@@ -61,3 +61,17 @@ def test_dedup_exact_keeps_min_doc_id(spark):
     assert all(r.keeper_id >= 0 and r.n >= 1 for r in rows)
     # unique hash per group
     assert len({r.text_md5 for r in rows}) == len(rows)
+
+
+def test_dedup_keep_best_policy_is_not_min_id(spark):
+    # The keeper policy must be able to pick a keeper the min-id rule would
+    # not: planted near-dup variants carry doc_id + 1e6 AND longer text, so
+    # "keep the most complete member" selects the high-id variant in every
+    # multi-member cluster.
+    rows = _rows(spark, "dedup_keep_best")
+    multi = [r for r in rows if r.group_n > 1]
+    assert multi, "planted corpus should yield multi-member clusters"
+    assert all(r.keeper_id >= 1_000_000 for r in multi)
+    # singleton clusters keep their only member
+    singles = [r for r in rows if r.group_n == 1]
+    assert all(r.keeper_id < 1_000_000 for r in singles)
