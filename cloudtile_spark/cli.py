@@ -165,16 +165,20 @@ def main(argv: Optional[list[str]] = None) -> int:
         tiles_df.write.mode("overwrite").partitionBy("z").parquet(out)
         print(f"wrote tiles table: {out}")
         if args.pmtiles:
-            from .operators.pmtiles import tilestats, write_pmtiles
-            rows = [(r.z, r.x, r.y, bytes(r.mvt))
-                    for r in spark.read.parquet(out)
-                    .select("z", "x", "y", "mvt").collect()]
+            from .operators.pmtiles import (
+                sorted_tile_stream, tilestats, write_pmtiles_stream)
+            # streamed assembly: range-partitioned tid-sorted iterator, one
+            # partition of payloads in driver memory at a time — a z0-12
+            # pyramid (1.5M tiles) archives without a driver collect
+            tiles_src = spark.read.parquet(out).select("z", "x", "y", "mvt")
             pm = f"{name}.pmtiles"
             meta = {"name": stem,
                     "tilestats": tilestats(feats, settings)}
-            write_pmtiles(pm, rows, settings["minimum-zoom"], maxz,
-                          metadata=meta)
-            print(f"wrote archive: {pm}")
+            stats = write_pmtiles_stream(
+                pm, sorted_tile_stream(tiles_src),
+                settings["minimum-zoom"], maxz, metadata=meta)
+            print(f"wrote archive: {pm} "
+                  f"({stats['n_addressed']} tiles, {stats['leaves']} leaves)")
         return 0
     finally:
         if active is None:

@@ -88,6 +88,56 @@ def test_pmtiles_roundtrip_and_dedup():
     assert back["tiles"][pmtiles.tile_id(1, 0, 1)] == blob_b
 
 
+def test_pmtiles_leaf_directories_roundtrip(tmp_path):
+    # > MAX_ROOT_ENTRIES distinct payloads at z8 forces the leaf spill;
+    # every tile must still read back through root -> leaf indirection
+    n_side = 120  # 14400 tiles > 4096
+    rows = [(8, x, y, b"payload-%d-%d" % (x, y))
+            for x in range(n_side) for y in range(n_side)]
+    p = str(tmp_path / "big.pmtiles")
+    pmtiles.write_pmtiles(p, rows, 8, 8)
+    back = pmtiles.read_pmtiles(p)
+    assert back["leaf_len"] > 0 and back["n_addressed"] == n_side * n_side
+    assert len(back["tiles"]) == n_side * n_side
+    assert back["tiles"][pmtiles.tile_id(8, 17, 93)] == b"payload-17-93"
+    assert back["tiles"][pmtiles.tile_id(8, 0, 0)] == b"payload-0-0"
+
+
+def test_pmtiles_run_length_coalescing(tmp_path):
+    # hilbert-consecutive identical payloads coalesce into run-length
+    # entries: entry count collapses while every tid stays addressable
+    rows = [(4, x, y, b"same") for x in range(16) for y in range(16)]
+    p = str(tmp_path / "run.pmtiles")
+    pmtiles.write_pmtiles(p, rows, 4, 4)
+    back = pmtiles.read_pmtiles(p)
+    assert back["n_addressed"] == 256
+    assert back["n_contents"] == 1
+    assert back["n_entries"] == 1  # one run covers the whole zoom level
+    assert len(back["tiles"]) == 256
+    assert all(v == b"same" for v in back["tiles"].values())
+
+
+def test_pmtiles_stream_rejects_unsorted(tmp_path):
+    with pytest.raises(ValueError):
+        pmtiles.write_pmtiles_stream(
+            str(tmp_path / "bad.pmtiles"), [(5, b"a"), (3, b"b")], 1, 1)
+
+
+def test_sorted_tile_stream_matches_collect(tmp_path, spark):
+    from cloudtile_spark.operators.extract import extract_features
+    from cloudtile_spark.operators.mvt import encode_point_tiles
+    from cloudtile_spark.sources.pages import synth_pages
+
+    feats = extract_features(
+        synth_pages(spark, 300, partitions=4).drop("page_id"))
+    tiles_df = encode_point_tiles(feats, 0, 3)
+    got = list(pmtiles.sorted_tile_stream(tiles_df, parts=8))
+    want = sorted((pmtiles.tile_id(r.z, r.x, r.y), bytes(r.mvt))
+                  for r in tiles_df.collect())
+    assert [t for t, _ in got] == [t for t, _ in want]
+    assert got == want
+
+
 def test_pmtiles_tile_id_spec_values():
     # spec examples: z0 -> 0; z1 tiles occupy ids 1..4
     assert pmtiles.tile_id(0, 0, 0) == 0
