@@ -21,6 +21,8 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import hashlib
+import os
 import shutil
 from pathlib import Path
 from typing import Any, Optional
@@ -95,6 +97,25 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _content_md5(path: Path) -> str:
+    """Streaming md5 of a file, or of a directory's (relpath, bytes) walk in
+    sorted order — the reference's content-identity check
+    (s3.py:151-187/211-227) without loading artifacts into memory."""
+    h = hashlib.md5()
+    if path.is_dir():
+        for p in sorted(path.rglob("*")):
+            if p.is_file():
+                h.update(str(p.relative_to(path)).encode())
+                with open(p, "rb") as f:
+                    for chunk in iter(lambda: f.read(1 << 20), b""):
+                        h.update(chunk)
+    else:
+        with open(path, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+    return h.hexdigest()
+
+
 def _settings_from_args(args) -> TilingSettings:
     s = TilingSettings(cfg_path=args.config) if args.config \
         else TilingSettings()
@@ -113,9 +134,14 @@ def main(argv: Optional[list[str]] = None) -> int:
         wh.mkdir(parents=True, exist_ok=True)
         if args.action == "upload":
             dest = wh / src.name
-            if dest.exists() and dest.stat().st_size == src.stat().st_size:
-                print(f"skip (already uploaded): {dest}")  # md5-skip analogue
+            # content-identity skip on md5 (reference s3.py:211-227
+            # semantics: equality is the HASH, not size — same-size edits
+            # must re-upload)
+            if dest.exists() and _content_md5(dest) == _content_md5(src):
+                print(f"skip (already uploaded, md5 match): {dest}")
             else:
+                if dest.exists():
+                    (shutil.rmtree if dest.is_dir() else os.remove)(dest)
                 (shutil.copytree if src.is_dir() else shutil.copy2)(src, dest)
                 print(f"uploaded {src} -> {dest}")
         else:

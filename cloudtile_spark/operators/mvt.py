@@ -294,6 +294,11 @@ def encode_point_tiles(
     exclude_all = bool(settings.get("exclude-all"))
     include = settings.get("include")
     exclude = settings.get("exclude")
+    # settings-driven feature filtering (tippecanoe feature-filter /
+    # feature-filter-file, yaml:47-48): compiled to a Catalyst predicate
+    # BEFORE the zoom explode so it pushes toward the scan
+    from .filters import apply_feature_filter
+    features = apply_feature_filter(features, settings, layer)
     cols = ["feature_id", "lon", "lat"] + (["props"] if has_props else [])
 
     df = assign_xy(explode_zooms(features.select(*cols), minz, maxz))

@@ -225,6 +225,51 @@ _shared_sql(
         "reference tippecanoe.yaml:40)",
 )
 
+# settings-driven accumulate-attribute + attribute-type (tippecanoe
+# yaml:39-41): the Spark side is driven purely by a settings dict through
+# operators/attributes.py (typed casts from the string props map, numeric
+# accumulation rules, deterministic ordered concat); the oracle spells out
+# the equivalent SQL (string_agg ... ORDER BY = the sorted-struct concat).
+@_register(
+    "accumulate_attribute_settings",
+    f"""
+    WITH {_GEO_CTE},
+    t AS (SELECT g.doc_id, d.lang,
+                 cast(cast(d.n_chars as varchar) as bigint) AS nc,
+                 {tiles.tile_x_sql('g.lon', '5')} AS x,
+                 {tiles.tile_y_sql('g.lat', '5')} AS y
+          FROM geo g JOIN documents d ON d.doc_id = g.doc_id)
+    SELECT x, y, min(doc_id) AS representative, count(*) AS merged_n,
+           cast(sum(nc) as bigint) AS nc,
+           string_agg(lang, ',' ORDER BY doc_id) AS lang
+    FROM t GROUP BY x, y
+    """,
+    doc="settings-driven accumulate-attribute {sum, comma-concat} + "
+        "attribute-type cast (B7, tippecanoe.yaml:39-41), via "
+        "operators/attributes.py — no hand-written aggregation",
+)
+def _accumulate_attribute_settings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.attributes import accumulate_attributes
+    from .settings import TilingSettings
+
+    load_views(spark, sf_dir)
+    feats = spark.sql(
+        f"SELECT d.doc_id AS feature_id, "
+        f"{tiles.tile_x_sql(lon_sql('d.doc_id'), '5')} AS x, "
+        f"{tiles.tile_y_sql(lat_sql('d.doc_id'), '5')} AS y, "
+        f"map('nc', cast(d.n_chars as string), 'lang', d.lang) AS props "
+        f"FROM documents d"
+    )
+    s = TilingSettings()
+    s["attribute-type"] = {"nc": "int"}
+    s["accumulate-attribute"] = {"nc": "sum", "lang": "comma"}
+    out = accumulate_attributes(feats, s, ["x", "y"])
+    return out.select(
+        "x", "y", "representative", "merged_n",
+        F.col("nc").cast("long").alias("nc"), "lang",
+    )
+
+
 _shared_sql(
     "feature_filter",
     f"""
@@ -236,6 +281,50 @@ _shared_sql(
     doc="feature-filter + attribute include/exclude projection (B6, "
         "tippecanoe.yaml:34-48): plain Catalyst filter/prune, pushed to scan",
 )
+
+# settings-driven feature-filter expression language (tippecanoe
+# feature-filter, yaml:47-48; Mapbox GL legacy filter JSON). The Spark side
+# is driven PURELY by a settings dict through the operators/filters.py
+# compiler — no hand-written predicate — while the oracle spells out the
+# equivalent SQL.
+_FILTER_SPEC = [
+    "all",
+    ["in", "lang", "en", "fr"],
+    [">", "n_chars", 150],
+    ["!in", "source", "src0", "src1"],
+    ["has", "lang"],
+]
+
+
+@_register(
+    "feature_filter_expr",
+    f"""
+    WITH {_GEO_CTE}
+    SELECT g.doc_id AS feature_id, g.lon, g.lat
+    FROM geo g JOIN documents d ON d.doc_id = g.doc_id
+    WHERE d.lang IN ('en', 'fr')
+      AND cast(d.n_chars as double) > 150.0
+      AND COALESCE(d.source NOT IN ('src0', 'src1'), TRUE)
+      AND d.lang IS NOT NULL
+    """,
+    doc="feature-filter expression language (B6, tippecanoe.yaml:47-48): "
+        "legacy-filter JSON -> Catalyst predicate via operators/filters.py, "
+        "driven purely by a settings dict",
+)
+def _feature_filter_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.filters import apply_feature_filter
+    from .settings import TilingSettings
+
+    load_views(spark, sf_dir)
+    feats = spark.sql(
+        f"SELECT doc_id AS feature_id, {lon_sql('doc_id')} AS lon, "
+        f"{lat_sql('doc_id')} AS lat, n_chars, "
+        f"map('lang', lang, 'source', source) AS props FROM documents"
+    )
+    s = TilingSettings()
+    s["feature-filter"] = _FILTER_SPEC
+    return apply_feature_filter(feats, s).select("feature_id", "lon", "lat")
+
 
 _shared_sql(
     "tile_stats_rollup",

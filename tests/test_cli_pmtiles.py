@@ -50,6 +50,13 @@ def test_manage_upload_download_with_dedup_skip(tmp_path, capsys):
     # second upload skips (reference md5-skip semantics, s3.py:128-132)
     main(["manage", "upload", str(src), "--warehouse", str(wh)])
     assert "skip" in capsys.readouterr().out
+    # SAME-SIZE different-content edit must RE-upload (md5, not size —
+    # reference s3.py:211-227; a size compare would wrongly skip this)
+    src.write_bytes(b"y" * 100)
+    main(["manage", "upload", str(src), "--warehouse", str(wh)])
+    out = capsys.readouterr().out
+    assert "uploaded" in out and "skip" not in out
+    assert (wh / "artifact.bin").read_bytes() == b"y" * 100
 
 
 def test_cli_single_step_end_to_end(tmp_path, spark, monkeypatch):
