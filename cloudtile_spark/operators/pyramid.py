@@ -286,6 +286,84 @@ def density_capped_summary(
     )
 
 
+def coalesce_densest_summary(
+    features: DataFrame,
+    z: int,
+    cap: int,
+    density_res_offset: int = 4,
+) -> DataFrame:
+    """tippecanoe ``coalesce-densest-as-needed`` — the reference's ACTIVE
+    default (tippecanoe.yaml:62, asserted by reference
+    tests/test_geofile.py:143) — with true UNION-MERGE semantics: over-cap
+    tiles sacrifice features from the densest sub-cells first, but instead
+    of dropping them (drop-densest-as-needed), each sacrificed feature
+    MERGES into a surviving neighbor; the survivor carries the merged
+    multiplicity and the geometric union (bbox) of everything it absorbed.
+    Feature COUNT is conserved: sum(multiplicity) per tile == pre-cap
+    feature count (pinned in tests + the oracle).
+
+    Deterministic merge rule (parallelism-independent, SQL-expressible so
+    the DuckDB oracle can replicate it):
+      keep set   = top-``cap`` by (fine-cell density ASC, feature_id ASC)
+      survivor   = min kept feature_id in the sacrificed feature's fine
+                   cell, else the tile's min kept feature_id
+      union geom = bbox over survivor + absorbed members
+
+    Plan: hash aggregates + broadcast-able joins only — the keep set is the
+    salted two-phase top-cap (no window over a hot tile), cell/tile
+    survivor tables are <= cap rows per tile, and the final merge is a
+    groupBy on survivor id.
+    """
+    fine = assign_xy(
+        features.withColumn("z", F.lit(z + density_res_offset))
+    ).withColumnRenamed("x", "fx").withColumnRenamed("y", "fy").drop("z")
+    dens = fine.groupBy("fx", "fy").agg(F.count("*").alias("density"))
+    df = assign_xy(
+        fine.join(dens, ["fx", "fy"]).withColumn("z", F.lit(z)))
+
+    # salted exact top-cap membership by (density, feature_id)
+    salt = (F.col("feature_id") % DEFAULT_SALT_BUCKETS).cast("int")
+    part = (
+        df.groupBy("z", "x", "y", salt.alias("_salt"))
+        .agg(F.slice(
+            F.array_sort(F.collect_list(F.struct("density", "feature_id"))),
+            1, cap).alias("_top"))
+    )
+    kept_ids = (
+        part.groupBy("z", "x", "y")
+        .agg(F.slice(F.array_sort(F.flatten(F.collect_list("_top"))), 1, cap)
+             .alias("_kept"))
+        .select("z", "x", "y",
+                F.explode(F.expr("transform(_kept, s -> s.feature_id)"))
+                 .alias("feature_id"))
+    )
+    flagged = df.join(
+        kept_ids.withColumn("_is_kept", F.lit(True)),
+        ["z", "x", "y", "feature_id"], "left",
+    ).withColumn("_is_kept", F.coalesce("_is_kept", F.lit(False)))
+
+    kept = flagged.filter("_is_kept")
+    cell_surv = kept.groupBy("z", "x", "y", "fx", "fy").agg(
+        F.min("feature_id").alias("_cell_surv"))
+    tile_surv = kept.groupBy("z", "x", "y").agg(
+        F.min("feature_id").alias("_tile_surv"))
+
+    assigned = (
+        flagged
+        .join(cell_surv, ["z", "x", "y", "fx", "fy"], "left")
+        .join(tile_surv, ["z", "x", "y"])
+        .withColumn(
+            "survivor_id",
+            F.when(F.col("_is_kept"), F.col("feature_id"))
+             .otherwise(F.coalesce("_cell_surv", "_tile_surv")))
+    )
+    return assigned.groupBy("z", "x", "y", "survivor_id").agg(
+        F.count("*").cast("long").alias("multiplicity"),
+        F.min("lon").alias("bbox_w"), F.max("lon").alias("bbox_e"),
+        F.min("lat").alias("bbox_s"), F.max("lat").alias("bbox_n"),
+    )
+
+
 def guess_max_zoom(
     features: DataFrame, cap: int, z_lo: int = 0, z_hi: int = 14
 ) -> int:

@@ -440,6 +440,54 @@ def _coalesce_densest_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "coalesce_union_merge",
+    f"""
+    WITH {_GEO_CTE},
+    f AS (SELECT doc_id, lon, lat,
+                 {tiles.tile_x_sql('lon', '4')} AS x,
+                 {tiles.tile_y_sql('lat', '4')} AS y,
+                 {tiles.tile_x_sql('lon', '8')} AS fx,
+                 {tiles.tile_y_sql('lat', '8')} AS fy
+          FROM geo),
+    d AS (SELECT fx, fy, count(*) AS density FROM f GROUP BY fx, fy),
+    r AS (SELECT f.doc_id, f.lon, f.lat, f.x, f.y, f.fx, f.fy,
+                 row_number() OVER (PARTITION BY f.x, f.y
+                                    ORDER BY d.density, f.doc_id) <= 40
+                   AS is_kept
+          FROM f JOIN d ON f.fx = d.fx AND f.fy = d.fy),
+    cs AS (SELECT x, y, fx, fy, min(doc_id) AS cell_surv
+           FROM r WHERE is_kept GROUP BY x, y, fx, fy),
+    ts AS (SELECT x, y, min(doc_id) AS tile_surv
+           FROM r WHERE is_kept GROUP BY x, y),
+    a AS (SELECT r.x, r.y, r.lon, r.lat,
+                 CASE WHEN r.is_kept THEN r.doc_id
+                      ELSE COALESCE(cs.cell_surv, ts.tile_surv) END
+                   AS survivor_id
+          FROM r
+          LEFT JOIN cs ON r.x = cs.x AND r.y = cs.y
+                      AND r.fx = cs.fx AND r.fy = cs.fy
+          JOIN ts ON r.x = ts.x AND r.y = ts.y)
+    SELECT x, y, survivor_id,
+           cast(count(*) as bigint) AS multiplicity,
+           min(lon) AS bbox_w, max(lon) AS bbox_e,
+           min(lat) AS bbox_s, max(lat) AS bbox_n
+    FROM a GROUP BY x, y, survivor_id
+    """,
+    doc="coalesce-densest-as-needed UNION-MERGE (B9, the reference's active "
+        "default, tippecanoe.yaml:62): sacrificed features merge into a "
+        "surviving neighbor (multiplicity + bbox union) instead of "
+        "dropping; sum(multiplicity) per tile == pre-cap count",
+)
+def _coalesce_union_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.pyramid import coalesce_densest_summary
+
+    feats = docs_geo(spark, sf_dir).withColumnRenamed("doc_id", "feature_id")
+    out = coalesce_densest_summary(feats, z=4, cap=40)
+    return out.select("x", "y", "survivor_id", "multiplicity",
+                      "bbox_w", "bbox_e", "bbox_s", "bbox_n")
+
+
 def _init_hilbert() -> None:
     z = 6
     base = (

@@ -150,6 +150,39 @@ def test_capped_summary_equals_window_path(spark, features):
     assert a == b
 
 
+def test_coalesce_union_merge_conserves_features(features):
+    """coalesce-densest-as-needed MERGES sacrificed features (the reference's
+    active default) — nothing is dropped: per tile, sum(multiplicity) equals
+    the pre-cap feature count, survivors number <= cap, every survivor is a
+    kept feature, and bboxes cover the absorbed members."""
+    from cloudtile_spark.operators.pyramid import coalesce_densest_summary
+
+    cap = 25
+    out = coalesce_densest_summary(features, z=3, cap=cap)
+    per_tile = out.groupBy("x", "y").agg(
+        F.sum("multiplicity").alias("total"),
+        F.count("*").alias("survivors"),
+    ).collect()
+    pre = {(r.x, r.y): r["count"] for r in
+           assign_xy(features.withColumn("z", F.lit(3)))
+           .groupBy("x", "y").count().collect()}
+    assert per_tile
+    for r in per_tile:
+        assert r.total == pre[(r.x, r.y)]  # conservation
+        assert r.survivors <= cap
+    # a tile over the cap must show a multiplicity > 1 somewhere
+    over = [k for k, v in pre.items() if v > cap]
+    if over:
+        m = out.filter(
+            (F.col("x") == over[0][0]) & (F.col("y") == over[0][1])
+        ).agg(F.max("multiplicity")).collect()[0][0]
+        assert m > 1
+    # bbox union is a real union: survivor rows with multiplicity>1 span
+    # at least as wide as any single point (w <= e, s <= n always)
+    bad = out.filter("bbox_w > bbox_e OR bbox_s > bbox_n").count()
+    assert bad == 0
+
+
 def test_extend_zooms_while_dropping(features):
     from cloudtile_spark.operators.pyramid import extend_zooms_while_dropping
 
