@@ -1492,6 +1492,27 @@ def _pages_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _attach_golden_oracles() -> None:
+    """Queries whose output is deterministic but not SQL-expressible (MVT
+    byte lengths, rasterized pixel counts, the extraction invariant) get
+    committed golden-fixture oracles — DuckDB-runnable VALUES captured at
+    the gate scale (tools/make_goldens.py) — so the driver's correctness
+    gate records rows/schema/hash for them too."""
+    try:
+        from .goldens import GOLDEN_SQL
+    except ImportError:  # goldens not generated yet
+        return
+    for name, sql in GOLDEN_SQL.items():
+        q = REGISTRY.get(name)
+        if q is not None and not q.oracle:
+            REGISTRY[name] = Query(
+                q.name, q.spark_fn, sql,
+                q.doc + " [golden-fixture oracle, sf0.01]")
+
+
+_attach_golden_oracles()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.spark_fn for name, q in REGISTRY.items()}
 
