@@ -211,6 +211,50 @@ def _with_cell_xy(df: DataFrame, lon: str, lat: str, res: int) -> DataFrame:
              .withColumn("cy", F.expr(tiles.tile_y_sql(lat, str(res))))
 
 
+def _ring_pass(
+    points: DataFrame, qs: DataFrame, k: int, res: int, ring: int
+) -> tuple[DataFrame, DataFrame]:
+    """One certified k-ring pass at (res, ring): returns (exact top-k rows
+    for certified queries, certified query ids). qs must carry
+    (query_id, qlon, qlat, cx, cy)."""
+    pts = _with_cell_xy(points, "lon", "lat", res) \
+        .withColumnRenamed("cx", "px").withColumnRenamed("cy", "py")
+    n = 1 << res
+    offsets = [(dx, dy) for dx in range(-ring, ring + 1)
+               for dy in range(-ring, ring + 1)]
+    off = points.sparkSession.createDataFrame(offsets, "dx int, dy int")
+    q_cells = (
+        qs.crossJoin(F.broadcast(off))
+        .withColumn("nx", (F.col("cx") + F.col("dx") + n) % n)
+        .withColumn("ny", F.col("cy") + F.col("dy"))
+        .filter((F.col("ny") >= 0) & (F.col("ny") < n))
+    )
+    cand = q_cells.join(
+        pts,
+        (q_cells.nx == pts.px) & (q_cells.ny == pts.py),
+    ).filter(F.col("feature_id") != F.col("query_id")) \
+     .withColumn("dist", F.expr(geom.haversine_sql("qlon", "qlat", "lon", "lat")))
+
+    w = Window.partitionBy("query_id").orderBy("dist", "feature_id")
+    topk = (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    # exact-spherical lower bound of the distance from the query point to
+    # the k-ring outer boundary (see _ring_bound_sql)
+    bound = _ring_bound_sql(ring, f"{n}.0", str(360.0 / n))
+    per_q = topk.groupBy("query_id", "qlon", "qlat", "cx", "cy").agg(
+        F.count("*").alias("n_cand"),
+        F.max("dist").alias("kth_dist"),
+    ).withColumn("bound_m", F.expr(bound))
+    certified = per_q.filter(
+        (F.col("n_cand") >= k) & (F.col("kth_dist") <= F.col("bound_m"))
+    ).select("query_id")
+    exact = topk.join(F.broadcast(certified), "query_id") \
+                .select("query_id", "feature_id", "dist", "rank")
+    return exact, certified
+
+
 def knn_join(
     points: DataFrame,
     queries: DataFrame,
@@ -228,66 +272,36 @@ def knn_join(
       2. equi-join on cell id -> bounded candidate sets; window top-k;
       3. exactness certificate per query: kth distance <= conservative
          lower bound of distance to the ring boundary AND >= k candidates;
-      4. failed queries (sparse regions) re-run brute force; union.
+      4. failed queries RETRY with a 3x-wider ring (bounded candidates,
+         still certified) before the final brute-force fallback — the
+         unbounded cross join is the last resort, not the first response
+         to a sparse neighborhood. Each escalation set is typically a tiny
+         minority; AQE prunes the empty branches at runtime.
 
     Ties broken by (dist, feature_id) so output is deterministic and equal
     to the brute-force oracle.
     """
-    pts = _with_cell_xy(points, "lon", "lat", res) \
-        .withColumnRenamed("cx", "px").withColumnRenamed("cy", "py")
     qs = _with_cell_xy(queries, "qlon", "qlat", res)
 
-    n = 1 << res
-    offsets = [(dx, dy) for dx in range(-ring, ring + 1)
-               for dy in range(-ring, ring + 1)]
-    off = points.sparkSession.createDataFrame(offsets, "dx int, dy int")
-    q_cells = (
-        qs.crossJoin(F.broadcast(off))
-        .withColumn("nx", (F.col("cx") + F.col("dx") + n) % n)
-        .withColumn("ny", F.col("cy") + F.col("dy"))
-        .filter((F.col("ny") >= 0) & (F.col("ny") < n))
-    )
+    exact1, cert1 = _ring_pass(points, qs, k, res, ring)
+    failed1 = qs.join(F.broadcast(cert1), "query_id", "left_anti")
 
-    cand = q_cells.join(
-        pts,
-        (q_cells.nx == pts.px) & (q_cells.ny == pts.py),
-    ).filter(F.col("feature_id") != F.col("query_id")) \
-     .withColumn("dist", F.expr(geom.haversine_sql("qlon", "qlat", "lon", "lat")))
+    # escalation: widen the ring 3x for the failures (sparse regions need
+    # reach, not a full scan)
+    exact2, cert2 = _ring_pass(points, failed1, k, res, 3 * ring + 1)
+    failed2 = failed1.join(F.broadcast(cert2), "query_id", "left_anti") \
+                     .select("query_id", "qlon", "qlat")
 
     w = Window.partitionBy("query_id").orderBy("dist", "feature_id")
-    topk = (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
-
-    # --- exactness certificate -------------------------------------------
-    # exact-spherical lower bound of the distance from the query point to
-    # the k-ring outer boundary (see _ring_bound_sql)
-    bound = _ring_bound_sql(ring, f"{n}.0", str(360.0 / n))
-
-    per_q = topk.groupBy("query_id", "qlon", "qlat", "cx", "cy").agg(
-        F.count("*").alias("n_cand"),
-        F.max("dist").alias("kth_dist"),
-    ).withColumn("bound_m", F.expr(bound))
-    certified = per_q.filter(
-        (F.col("n_cand") >= k) & (F.col("kth_dist") <= F.col("bound_m"))
-    ).select("query_id")
-
-    exact_part = topk.join(F.broadcast(certified), "query_id") \
-                     .select("query_id", "feature_id", "dist", "rank")
-
-    # --- fallback: brute force for the (few) uncertified queries ----------
-    failed = qs.join(F.broadcast(certified), "query_id", "left_anti") \
-               .select("query_id", "qlon", "qlat")
     brute = (
-        points.crossJoin(F.broadcast(failed))
+        points.crossJoin(F.broadcast(failed2))
         .filter(F.col("feature_id") != F.col("query_id"))
         .withColumn("dist", F.expr(geom.haversine_sql("qlon", "qlat", "lon", "lat")))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "feature_id", "dist", "rank")
     )
-    return exact_part.unionByName(brute)
+    return exact1.unionByName(exact2).unionByName(brute)
 
 
 def knn_join_adaptive(
@@ -398,12 +412,13 @@ def knn_join_adaptive(
     )
 
     # 3. single candidates join at each query's chosen res. The point side
-    # explodes only to resolutions some query actually chose (a tiny
-    # driver-side distinct over the query plan — typically 1-3 of the 5
-    # levels survive, cutting the explode proportionally).
+    # explodes only to resolutions some query actually chose — derived
+    # IN-PLAN as a broadcast distinct over `chosen` (typically 1-3 of the 5
+    # levels survive, cutting the explode proportionally). No driver
+    # collect: the whole join is one action, so the counts/selection
+    # subtree runs as a broadcast stage instead of a serial pre-job.
     chosen = chosen.persist()
-    used_res = sorted(r.res for r in chosen.select("res").distinct().collect())
-    used_levels = spark.createDataFrame([(r,) for r in used_res], "res int")
+    used_levels = chosen.select("res").distinct()
     q_cells = (
         q_ring.join(F.broadcast(chosen), ["query_id", "res"])
         .select("query_id", "qlon", "qlat", "res", "cx", "cy", "nx", "ny")
