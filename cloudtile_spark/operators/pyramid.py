@@ -318,43 +318,55 @@ def coalesce_densest_summary(
         features.withColumn("z", F.lit(z + density_res_offset))
     ).withColumnRenamed("x", "fx").withColumnRenamed("y", "fy").drop("z")
     dens = fine.groupBy("fx", "fy").agg(F.count("*").alias("density"))
+    # persist: the feature+density table is consumed twice (keep-set agg,
+    # merge join) — without it the density join recomputes per consumer
     df = assign_xy(
-        fine.join(dens, ["fx", "fy"]).withColumn("z", F.lit(z)))
+        fine.join(dens, ["fx", "fy"]).withColumn("z", F.lit(z))).persist()
 
-    # salted exact top-cap membership by (density, feature_id)
+    # salted exact top-cap membership by (density, feature_id); kept
+    # members carry their fine cell so EVERY survivor table below derives
+    # from this one tiny frame (<= 1 row per tile, <= cap structs each) —
+    # never from a second pass over the feature table
     salt = (F.col("feature_id") % DEFAULT_SALT_BUCKETS).cast("int")
     part = (
         df.groupBy("z", "x", "y", salt.alias("_salt"))
         .agg(F.slice(
-            F.array_sort(F.collect_list(F.struct("density", "feature_id"))),
+            F.array_sort(F.collect_list(
+                F.struct("density", "feature_id", "fx", "fy"))),
             1, cap).alias("_top"))
     )
-    kept_ids = (
+    merged = (
         part.groupBy("z", "x", "y")
         .agg(F.slice(F.array_sort(F.flatten(F.collect_list("_top"))), 1, cap)
              .alias("_kept"))
-        .select("z", "x", "y",
-                F.explode(F.expr("transform(_kept, s -> s.feature_id)"))
-                 .alias("feature_id"))
+        .persist()
     )
-    flagged = df.join(
-        kept_ids.withColumn("_is_kept", F.lit(True)),
-        ["z", "x", "y", "feature_id"], "left",
-    ).withColumn("_is_kept", F.coalesce("_is_kept", F.lit(False)))
-
-    kept = flagged.filter("_is_kept")
-    cell_surv = kept.groupBy("z", "x", "y", "fx", "fy").agg(
-        F.min("feature_id").alias("_cell_surv"))
-    tile_surv = kept.groupBy("z", "x", "y").agg(
-        F.min("feature_id").alias("_tile_surv"))
+    kept_ids = merged.select(
+        "z", "x", "y",
+        F.explode(F.expr("transform(_kept, s -> s.feature_id)"))
+         .alias("feature_id"),
+        F.lit(True).alias("_is_kept"),
+    )
+    cell_surv = (
+        merged.select("z", "x", "y", F.explode("_kept").alias("_s"))
+        .groupBy("z", "x", "y", F.col("_s.fx").alias("fx"),
+                 F.col("_s.fy").alias("fy"))
+        .agg(F.min("_s.feature_id").alias("_cell_surv"))
+    )
+    tile_surv = merged.select(
+        "z", "x", "y",
+        F.expr("array_min(transform(_kept, s -> s.feature_id))")
+         .alias("_tile_surv"),
+    )
 
     assigned = (
-        flagged
+        df
+        .join(kept_ids, ["z", "x", "y", "feature_id"], "left")
         .join(cell_surv, ["z", "x", "y", "fx", "fy"], "left")
         .join(tile_surv, ["z", "x", "y"])
         .withColumn(
             "survivor_id",
-            F.when(F.col("_is_kept"), F.col("feature_id"))
+            F.when(F.coalesce("_is_kept", F.lit(False)), F.col("feature_id"))
              .otherwise(F.coalesce("_cell_surv", "_tile_surv")))
     )
     return assigned.groupBy("z", "x", "y", "survivor_id").agg(

@@ -41,7 +41,8 @@ def main() -> None:
         f"- Exchange (shuffle): {p.count('Exchange')}\n"
     )
 
-    for name in ("feature_filter", "pip_bbox_join", "tpch_q3"):
+    for name in ("feature_filter", "feature_filter_expr", "pip_bbox_join",
+                 "tpch_q3"):
         s = plan_of(REGISTRY[name].spark_fn(spark, sf))
         pushed = [ln.strip() for ln in s.splitlines()
                   if "PushedFilters" in ln or "ReadSchema" in ln]
@@ -50,6 +51,22 @@ def main() -> None:
             f"## {name}\n\n"
             + "".join(f"- `{ln[:160]}`\n" for ln in pushed)
             + (f"- join strategies: {joins}\n" if joins else "")
+        )
+
+    # the skew-sensitive cap/merge paths must be agg-only: ZERO windows and
+    # ZERO sorts (a window here = one reducer sorting the z0 hot tile)
+    for name in ("coalesce_densest_cap", "coalesce_union_merge",
+                 "accumulate_attribute_settings"):
+        s = plan_of(REGISTRY[name].spark_fn(spark, sf))
+        mem = s.count("InMemoryRelation") + s.count("InMemoryTableScan")
+        out.append(
+            f"## {name}\n\n"
+            f"- Window operators: **{s.count('Window')}**\n"
+            f"- Sort operators: **{s.count('Sort')}**\n"
+            f"- HashAggregate: {s.count('HashAggregate')}\n"
+            f"- Exchange (shuffle): {s.count('Exchange')} (formatted-plan "
+            f"lineage count; persist boundaries — {mem} in-memory scans — "
+            f"mean shared subtrees execute once)\n"
         )
 
     # bucketing: two tables bucketed on the cell key join WITHOUT a shuffle
