@@ -160,21 +160,35 @@ def main(argv: Optional[list[str]] = None) -> int:
     # lifecycle alone; only stop a session this CLI itself created
     active = SparkSession.getActiveSession()
     spark = active or get_spark("cloudtile_spark_cli", cores=args.cores)
+    def _read_src(src: str):
+        # table:<name> reads a catalog table (Iceberg/Hive/temp view at
+        # deploy time) via spark.read.table; anything else is a path
+        if src.startswith("table:"):
+            return spark.read.table(src[len("table:"):])
+        return spark.read.parquet(src)
+
+    def _stem(src: str) -> str:
+        return src.split(":", 1)[1].split(".")[-1] \
+            if src.startswith("table:") else Path(src).stem
+
     try:
         if args.action == "vector2features":
-            pages = spark.read.parquet(args.src)
-            out = args.out or (Path(args.src).stem + "-features")
+            pages = _read_src(args.src)
+            # default outputs resolve against the PROCESS cwd: Spark
+            # resolves relative paths against the JVM's startup dir, which
+            # silently scatters outputs when the caller has chdir'd
+            out = args.out or str(Path.cwd() / (_stem(args.src) + "-features"))
             extract_features(pages).write.mode("overwrite").parquet(out)
             print(f"wrote features: {out}")
             return 0
 
         settings = _settings_from_args(args)
-        stem = Path(args.src).stem
+        stem = _stem(args.src)
         if args.action == "single-step":
-            pages = spark.read.parquet(args.src)
+            pages = _read_src(args.src)
             feats = extract_features(pages)
         else:
-            feats = spark.read.parquet(args.src)
+            feats = _read_src(args.src)
         keep = [c for c in ("feature_id", "lon", "lat", "props")
                 if c in feats.columns]
         feats = feats.select(*keep)
@@ -183,7 +197,7 @@ def main(argv: Optional[list[str]] = None) -> int:
             from .operators.pyramid import guess_max_zoom
             maxz = guess_max_zoom(feats, settings["maximum-tile-features"])
         name = output_name(stem, settings["minimum-zoom"], maxz, args.suffix)
-        out = args.out or name
+        out = args.out or str(Path.cwd() / name)  # JVM-cwd-proof default
 
         from .operators.mvt import encode_point_tiles
         tiles_df = encode_point_tiles(

@@ -80,6 +80,28 @@ def test_cli_single_step_end_to_end(tmp_path, spark, monkeypatch):
     assert len(dec["features"]) == 150
 
 
+def test_cli_catalog_table_source(tmp_path, spark, monkeypatch):
+    """table:<name> sources read through spark.read.table — the catalog
+    path that serves Iceberg/Hive page tables on a real cluster."""
+    from cloudtile_spark.sources.pages import synth_pages
+    from cloudtile_spark.sources.readers import load_features
+
+    monkeypatch.chdir(tmp_path)
+    synth_pages(spark, 200, partitions=2).drop("page_id") \
+        .createOrReplaceTempView("pages_tbl")
+    out = str(tmp_path / "pages_tbl-0-2")
+    rc = main(["convert", "single-step", "table:pages_tbl",
+               "0", "2", "--cores", "2", "--out", out])
+    assert rc == 0
+    import os
+    assert os.path.isdir(out)
+    assert spark.read.parquet(out).count() > 0
+    # reader-factory dispatch too
+    spark.createDataFrame([(1, 1.0, 2.0)], "feature_id long, lon double, "
+                          "lat double").createOrReplaceTempView("feats_tbl")
+    assert load_features(spark, "table:feats_tbl").count() == 1
+
+
 def test_pmtiles_roundtrip_and_dedup():
     rows = []
     blob_a = mvt.encode_layer("l", [mvt.encode_feature(1, 1, [np.array([[5, 5]])], [])], [], [])
