@@ -89,6 +89,31 @@ class TilingSettings(UserDict):
         for k, v in kwargs.items():
             self[k] = v
 
+    # --- remote-execution job-spec round-trip (A16) ----------------------
+    # The reference re-serializes its parsed args into a CLI argv for the
+    # remote container (cli/__init__.py convert_to_list_args). The Spark
+    # analogue is a JSON job spec shipped to spark-submit: settings +
+    # job/src/out survive the driver->cluster hop losslessly.
+
+    def to_job_spec(self, job: str, src: str, out: str,
+                    **extra: Any) -> dict[str, Any]:
+        return {"job": job, "src": src, "out": out,
+                "settings": dict(self.data), **extra}
+
+    @classmethod
+    def from_job_spec(cls, spec: dict[str, Any]) -> "TilingSettings":
+        s = cls()
+        # zoom pair first (min then max): validators compare against the
+        # other bound, and arbitrary dict order could transiently violate
+        # the min<=max invariant mid-load
+        st = dict(spec.get("settings") or {})
+        for zk in ("minimum-zoom", "maximum-zoom"):
+            if zk in st:
+                s[zk] = st.pop(zk)
+        for k, v in st.items():
+            s[k] = v
+        return s
+
 
 def _check_max_zoom(s: TilingSettings, value: Any) -> None:
     if value == "g":  # "guess": resolved by guess_max_zoom at plan time

@@ -82,3 +82,23 @@ def test_repr_hides_false():
     ts = TilingSettings()
     ts["hilbert"] = False
     assert "hilbert" not in repr(ts)
+
+
+def test_job_spec_roundtrip():
+    import json
+
+    s = TilingSettings()
+    s["minimum-zoom"] = 2
+    s["maximum-zoom"] = 9
+    s["simplification"] = 4
+    s["visvalingam"] = True
+    s["accumulate-attribute"] = {"nc": "sum"}
+    spec = s.to_job_spec("pyramid", "synth:1000", "/tmp/out", cores=8)
+    back = json.loads(json.dumps(spec))  # survives the JSON wire format
+    s2 = TilingSettings.from_job_spec(back)
+    assert dict(s2) == dict(s)
+    assert back["job"] == "pyramid" and back["cores"] == 8
+    # invalid keys still rejected after the hop
+    back["settings"]["bogus-key"] = 1
+    with pytest.raises(KeyError):
+        TilingSettings.from_job_spec(back)

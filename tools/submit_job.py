@@ -21,10 +21,9 @@ import time
 from pyspark.sql import SparkSession
 
 
-def main() -> int:
-    job, src, minz, maxz, out = sys.argv[1:6]
-    spark = SparkSession.builder.appName(f"cloudtile_spark_{job}").getOrCreate()
-    # imports resolve from the --py-files zip on every executor
+def run_job(spark, job: str, src: str, out: str, settings) -> dict:
+    """Execute one job described by a job spec (callable from tests and
+    from the spark-submit entry below)."""
     from cloudtile_spark.operators.extract import extract_features
     from cloudtile_spark.operators.pyramid import build_pyramid
     from cloudtile_spark.sources.pages import synth_pages
@@ -32,19 +31,38 @@ def main() -> int:
     t0 = time.time()
     if src.startswith("synth:"):
         pages = synth_pages(spark, int(src.split(":")[1]))
+    elif src.startswith("table:"):
+        pages = spark.read.table(src.split(":", 1)[1])
     else:
         pages = spark.read.parquet(src)
     feats = extract_features(pages.drop(*(
         c for c in ("page_id",) if c in pages.columns)))
     if job == "pyramid":
-        tiles_df = build_pyramid(feats, minz=int(minz), maxz=int(maxz),
-                                 with_ids=False)
+        tiles_df = build_pyramid(feats, settings=settings, with_ids=False)
         tiles_df.write.mode("overwrite").partitionBy("z").parquet(out)
         n = spark.read.parquet(out).count()
-        print(json.dumps({"job": job, "tiles": n,
-                          "sec": round(time.time() - t0, 2)}))
+        return {"job": job, "tiles": n, "sec": round(time.time() - t0, 2)}
+    raise SystemExit(f"unknown job {job}")
+
+
+def main() -> int:
+    from cloudtile_spark.settings import TilingSettings
+
+    if sys.argv[1] == "--job-spec":
+        # JSON job spec (TilingSettings.to_job_spec round-trip): the arg
+        # re-serialization path for remote execution — reference
+        # cli convert_to_list_args semantics, as a spec file instead of argv
+        with open(sys.argv[2]) as f:
+            spec = json.load(f)
+        job, src, out = spec["job"], spec["src"], spec["out"]
+        settings = TilingSettings.from_job_spec(spec)
     else:
-        raise SystemExit(f"unknown job {job}")
+        job, src, minz, maxz, out = sys.argv[1:6]
+        settings = TilingSettings()
+        settings["minimum-zoom"] = int(minz)
+        settings["maximum-zoom"] = maxz if maxz == "g" else int(maxz)
+    spark = SparkSession.builder.appName(f"cloudtile_spark_{job}").getOrCreate()
+    print(json.dumps(run_job(spark, job, src, out, settings)))
     spark.stop()
     return 0
 
