@@ -84,6 +84,77 @@ N_TABLES = 4
 PLANES_PER_TABLE = 4
 
 
+def ann_ivf_topk_sql(
+    dialect: str,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    query_mod: int = 101,
+) -> str:
+    """IVF (inverted-file) ANN cosine top-k — the second scale path next to
+    LSH: a small deterministic coarse quantizer (the first ``n_centroids``
+    corpus vectors; no iterative training, so the oracle replays it
+    exactly), every vector assigned to its nearest centroid's inverted
+    list, queries probe the ``nprobe`` nearest lists and exact-rerank only
+    those candidates — candidate work drops to ~nprobe/n_centroids of the
+    corpus per query.
+
+    Scale shape: the centroid table is tiny (broadcast); assignment is a
+    per-vector argmax over ``n_centroids`` similarities (a 16-row window
+    per vector here for cross-engine determinism; at cluster scale the
+    same argmax is expressible as a map-side max_by with zero extra
+    shuffle); probing joins the (query x nprobe) table against the lists
+    on centroid id — an equi-join, never all-pairs. Approximate by
+    construction; recall vs brute force is measured in tests, and the
+    oracle runs the identical algorithm so the implementation is exactly
+    checked.
+    """
+    sim_vc = (
+        f"{dot_pair('v.embedding', 'c.cvec', dialect)} / "
+        f"({norm('v.embedding', dialect)} * {norm('c.cvec', dialect)})"
+    )
+    sim_qc = (
+        f"{dot_pair('q.qvec', 'c.cvec', dialect)} / "
+        f"({norm('q.qvec', dialect)} * {norm('c.cvec', dialect)})"
+    )
+    sim_pair = (
+        f"{dot_pair('qvec', 'nvec', dialect)} / "
+        f"({norm('qvec', dialect)} * {norm('nvec', dialect)})"
+    )
+    return f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+      WHERE vec_id < {n_centroids}),
+    va AS (
+      SELECT vec_id, embedding, cid,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, cid) AS rn
+      FROM (SELECT v.vec_id, v.embedding, c.cid, {sim_vc} AS sim
+            FROM embeddings v CROSS JOIN cent c) s),
+    lists AS (SELECT vec_id, embedding, cid FROM va WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+          WHERE vec_id % {query_mod} = 0),
+    qp AS (
+      SELECT query_id, qvec, cid,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, cid) AS pr
+      FROM (SELECT q.query_id, q.qvec, c.cid, {sim_qc} AS sim
+            FROM q CROSS JOIN cent c) s),
+    probe AS (SELECT query_id, qvec, cid FROM qp WHERE pr <= {nprobe}),
+    cand AS (
+      SELECT p.query_id, p.qvec, l.vec_id AS neighbor_id,
+             l.embedding AS nvec
+      FROM probe p JOIN lists l ON l.cid = p.cid
+      WHERE l.vec_id <> p.query_id),
+    d AS (SELECT query_id, neighbor_id, {sim_pair} AS sim FROM cand),
+    r AS (SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, neighbor_id) AS rank
+          FROM d)
+    SELECT query_id, neighbor_id, rank FROM r WHERE rank <= {k}
+    """
+
+
 def ann_lsh_topk_sql(dialect: str, k: int = 10, query_mod: int = 101) -> str:
     """Multi-table LSH cosine top-k: ``N_TABLES`` independent hash tables of
     ``PLANES_PER_TABLE`` hyperplane-sign bits each; a candidate matches if it

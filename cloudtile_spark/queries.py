@@ -958,6 +958,27 @@ def _init_ann_lsh() -> None:
 _init_ann_lsh()
 
 
+def _init_ann_ivf() -> None:
+    from .operators.similarity import ann_ivf_topk_sql
+
+    spark_sql = ann_ivf_topk_sql("spark")
+    duck_sql = ann_ivf_topk_sql("duck")
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        load_views(spark, sf_dir)
+        return spark.sql(spark_sql)
+
+    REGISTRY["ann_ivf_topk"] = Query(
+        "ann_ivf_topk", fn, duck_sql,
+        "IVF ANN: deterministic coarse quantizer -> inverted lists -> "
+        "nprobe-list probe + exact cosine rerank (the second scale path "
+        "next to LSH; recall vs brute force measured in tests)",
+    )
+
+
+_init_ann_ivf()
+
+
 # ===========================================================================
 # Events: windowed aggregation + sessionization (streaming-shaped, batch-checked)
 # ===========================================================================

@@ -56,6 +56,23 @@ def test_ann_lsh_subset_and_recall(spark):
     assert hits / total >= 0.2, f"ANN-LSH recall {hits/total:.2f}"
 
 
+def test_ann_ivf_recall_and_candidate_bound(spark):
+    brute = {}
+    for r in _rows(spark, "ann_cosine_topk"):
+        brute.setdefault(r.query_id, set()).add(r.neighbor_id)
+    ivf = {}
+    for r in _rows(spark, "ann_ivf_topk"):
+        ivf.setdefault(r.query_id, set()).add(r.neighbor_id)
+    # nprobe/n_centroids = 4/16 -> each query scans ~25% of the corpus;
+    # random 64-dim embeddings are a hard instance so the floor is modest
+    # and measured, not guessed
+    hits = sum(len(ivf.get(q, set()) & ns) for q, ns in brute.items())
+    total = sum(len(ns) for ns in brute.values())
+    assert hits / total >= 0.2, f"ANN-IVF recall {hits/total:.2f}"
+    # every query returns k results (lists are non-empty at 500 vectors)
+    assert all(len(ns) == 10 for ns in ivf.values())
+
+
 def test_dedup_exact_keeps_min_doc_id(spark):
     rows = _rows(spark, "dedup_exact")
     assert all(r.keeper_id >= 0 and r.n >= 1 for r in rows)
