@@ -120,6 +120,42 @@ DUCK = Dialect(
 )
 
 
+def winnow_fingerprints_sql(d: Dialect, k: int = 3, w: int = 4) -> str:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken '03, the
+    MOSS algorithm — the rolling-hash fingerprinting a training pipeline
+    uses for robust near-copy detection): hash every word ``k``-gram, slide
+    a window of ``w`` consecutive hashes, keep each window's minimum, dedup.
+    Guarantee: any shared run of >= w+k-1 tokens between two documents
+    shares at least one fingerprint.
+
+    Pure array/lambda SQL on both dialects (JVM codegen in Spark — no
+    Python per row); output per doc is the fingerprint-set summary
+    (count, min, max, order-canonical md5) so the whole set is
+    value-checked without an explode.
+    """
+    hashes = d.shingle_hashes("text", k)
+    if d.name == "spark":
+        wins = (f"transform(sequence(1, greatest(size(hs) - {w - 1}, 1)), "
+                f"j -> array_min(slice(hs, j, {w})))")
+        fps = f"array_sort(array_distinct({wins}))"
+        joined = "array_join(transform(fps, x -> cast(x as string)), ',')"
+    else:
+        wins = (f"list_transform(range(1, greatest(len(hs) - {w - 1}, 1)"
+                f" + 1), j -> list_min(hs[j:j+{w - 1}]))")
+        fps = f"list_sort(list_distinct({wins}))"
+        joined = ("array_to_string(list_transform(fps, "
+                  "x -> cast(x as varchar)), ',')")
+    return f"""
+    WITH h AS (SELECT doc_id, {hashes} AS hs FROM documents),
+    f AS (SELECT doc_id, {fps} AS fps FROM h)
+    SELECT doc_id,
+           cast({d.size.format(l='fps')} as bigint) AS n_fp,
+           {d.array_min.format(l='fps')} AS min_fp,
+           md5({joined}) AS fp_md5
+    FROM f
+    """
+
+
 def minhash_lsh_pairs_sql(d: Dialect, corpus_cte: str,
                           jaccard_min: float = 0.5, k: int = 3,
                           max_bucket: int = 50) -> str:

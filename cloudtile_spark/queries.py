@@ -773,6 +773,58 @@ def _dedup_query(name: str, builder, doc: str, **kw) -> None:
     REGISTRY[name] = Query(name, fn, duck_sql, doc)
 
 
+def _init_winnow() -> None:
+    from .operators import dedup as dd
+
+    spark_sql = dd.winnow_fingerprints_sql(dd.SPARK)
+    duck_sql = dd.winnow_fingerprints_sql(dd.DUCK)
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        load_views(spark, sf_dir)
+        return spark.sql(spark_sql)
+
+    REGISTRY["doc_winnow_fingerprint"] = Query(
+        "doc_winnow_fingerprint", fn, duck_sql,
+        "winnowing (MOSS) rolling-hash document fingerprints: k-gram hash "
+        "-> sliding-window minima -> dedup'd fingerprint set, summarized "
+        "per doc (count/min/canonical md5); any shared >= w+k-1-token run "
+        "shares a fingerprint",
+    )
+
+
+_init_winnow()
+
+
+@_register(
+    "token_count_bpe",
+    """
+    SELECT doc_id,
+           cast(list_reduce(list_transform(string_split(text, ' '),
+                w -> cast(floor((length(w) + 3) / 4.0) as bigint)),
+                (a, b) -> a + b) as bigint) AS n_subwords,
+           cast(len(string_split(text, ' ')) as bigint) AS n_words
+    FROM documents
+    """,
+    doc="BPE-ish sub-word token counting: whitespace words chunked into "
+        "<=4-char sub-word units (ceil(len/4) per word), integer-exact on "
+        "both engines — the token-budget estimator shape a training "
+        "pipeline runs corpus-wide",
+)
+def _token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT doc_id,
+               cast(aggregate(transform(split(text, ' '),
+                    w -> cast(floor((length(w) + 3) / 4.0) as bigint)),
+                    cast(0 as bigint), (a, b) -> a + b) as bigint)
+                 AS n_subwords,
+               cast(size(split(text, ' ')) as bigint) AS n_words
+        FROM documents
+        """
+    )
+
+
 def _init_dedup_queries() -> None:
     from .operators import dedup as dd
 

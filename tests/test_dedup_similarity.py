@@ -73,6 +73,36 @@ def test_ann_ivf_recall_and_candidate_bound(spark):
     assert all(len(ns) == 10 for ns in ivf.values())
 
 
+def test_winnow_shared_run_guarantee(spark):
+    """Winnowing guarantee: documents sharing a run of >= w+k-1 tokens
+    (here 4+3-1=6) share at least one fingerprint; disjoint docs don't."""
+    from cloudtile_spark.operators.dedup import SPARK, winnow_fingerprints_sql
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, "one two three " + shared + " four five"),
+        (2, shared + " six seven eight nine ten eleven"),
+        (3, "totally different words with nothing in common here at all"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .createOrReplaceTempView("documents")
+    sql = winnow_fingerprints_sql(SPARK)
+    # re-derive the raw fingerprint sets for the overlap assertion (the
+    # registered query summarizes per doc; the guarantee is about sets)
+    hashes = SPARK.shingle_hashes("text", 3)
+    fps_df = spark.sql(
+        f"WITH h AS (SELECT doc_id, {hashes} AS hs FROM documents) "
+        f"SELECT doc_id, array_distinct(transform(sequence(1, "
+        f"greatest(size(hs) - 3, 1)), j -> array_min(slice(hs, j, 4)))) "
+        f"AS fps FROM h")
+    fps = {r.doc_id: set(r.fps) for r in fps_df.collect()}
+    assert fps[1] & fps[2], "shared 6-token run must share a fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+    # and the registered summary query runs on the same view
+    out = {r.doc_id: r for r in spark.sql(sql).collect()}
+    assert out[1].n_fp == len(fps[1])
+
+
 def test_dedup_exact_keeps_min_doc_id(spark):
     rows = _rows(spark, "dedup_exact")
     assert all(r.keeper_id >= 0 and r.n >= 1 for r in rows)
