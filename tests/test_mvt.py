@@ -234,6 +234,66 @@ def test_visvalingam_applies_to_linestrings():
     assert len(mvt.decode_tile(blob_vw)["features"][0]["geometry"][0]) == 3
 
 
+def test_polygon_winding_normalization():
+    # a big CCW-in-tile-coords square: default output must be spec winding
+    # (positive shoelace in y-down tile coords); source/reverse override
+    ring_ccw = np.array([[-60.0, -40.0], [60.0, -40.0], [60.0, 40.0],
+                         [-60.0, 40.0], [-60.0, -40.0]])
+    wkb = geom.wkb_polygon(ring_ccw)
+
+    def emitted_area(s):
+        blob, _ = mvt.encode_geom_tile_batch(0, 0, 0, [(1, "polygon", wkb)], s)
+        r = np.array(mvt.decode_tile(blob)["features"][0]["geometry"][0],
+                     dtype=np.float64)
+        return geom.shoelace_area(r)
+
+    a_default = emitted_area(TilingSettings())
+    assert a_default > 0  # normalized to spec orientation
+
+    s_src = TilingSettings()
+    s_src["use-source-polygon-winding"] = True
+    s_rev = TilingSettings()
+    s_rev["reverse-source-polygon-winding"] = True
+    a_src, a_rev = emitted_area(s_src), emitted_area(s_rev)
+    assert a_src == -a_rev  # reverse flips the source orientation
+    assert abs(a_src) == abs(a_default)
+
+
+def test_low_detail_extent_below_maxzoom():
+    ring = np.array([[-60.0, -40.0], [60.0, -40.0], [60.0, 40.0],
+                     [-60.0, 40.0], [-60.0, -40.0]])
+    wkb = geom.wkb_polygon(ring)
+    s = TilingSettings()
+    s["low-detail"] = 9
+    blob_low, _ = mvt.encode_geom_tile_batch(
+        0, 0, 0, [(1, "polygon", wkb)], s, maxz=4)
+    assert mvt.decode_tile(blob_low)["extent"] == 512  # 2^9 below maxz
+    blob_full, _ = mvt.encode_geom_tile_batch(
+        4, 8, 8, [(1, "polygon", wkb)], s, maxz=4)
+    assert mvt.decode_tile(blob_full)["extent"] == 4096  # full at maxz
+    # minimum-detail clamps low-detail from below
+    s2 = TilingSettings()
+    s2["low-detail"] = 3
+    s2["minimum-detail"] = 6
+    blob_min, _ = mvt.encode_geom_tile_batch(
+        0, 0, 0, [(1, "polygon", wkb)], s2, maxz=4)
+    assert mvt.decode_tile(blob_min)["extent"] == 64
+
+
+def test_no_duplication_single_tile_emit(spark):
+    # a line spanning two z1 tiles: default cover emits both; with
+    # no-duplication only the tile of the first vertex
+    line = geom.wkb_linestring(np.array([[-120.0, 10.0], [120.0, 10.0]]))
+    df = spark.createDataFrame(
+        [(7, "linestring", bytearray(line))],
+        "feature_id long, geom_type string, geom_wkb binary")
+    both = mvt.tile_cover(df, 1, 1).select("x", "y").collect()
+    assert len(both) == 2
+    one = mvt.tile_cover(df, 1, 1, no_duplication=True) \
+             .select("x", "y").collect()
+    assert len(one) == 1 and one[0].x == 0  # first vertex is west
+
+
 def test_visvalingam_kernel():
     line = np.array([[0., 0.], [1., 0.001], [2., 0.], [3., 5.], [4., 0.]])
     out = geom.visvalingam(line, min_area=0.5)
