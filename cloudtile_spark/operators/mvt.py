@@ -344,7 +344,12 @@ def encode_point_tiles(
         total = 0
         n = 0
         props_col = pdf.props.values if has_props else [None] * len(pdf)
+        attr_id = settings.get("use-attribute-for-id")
         for fid, ix, iy, pr in zip(pdf.feature_id.values, px, py, props_col):
+            # use-attribute-for-id (yaml:52): feature id from an attribute;
+            # stringified numbers convert (yaml:51 semantics)
+            if attr_id and pr is not None and attr_id in pr:
+                fid = int(float(pr[attr_id]))
             fb = encode_feature(int(fid), 1, [np.array([[ix, iy]])],
                                 tag_ids(pr))
             if total + len(fb) > max_bytes:
@@ -477,6 +482,11 @@ def encode_geom_tile_batch(
     """
     cap = settings["maximum-tile-features"]
     max_bytes = settings["maximum-tile-bytes"]
+    below_max = maxz is not None and z < maxz
+    # drop-lines / drop-polygons (tippecanoe yaml:57-58): drop those
+    # geometry types at below-max zooms, like the drop-rate family
+    drop_lines = bool(settings.get("drop-lines")) and below_max
+    drop_polys = bool(settings.get("drop-polygons")) and below_max
     full_detail = int(settings.get("full-detail") or 12)
     min_detail = int(settings.get("minimum-detail") or 7)
     low_detail = max(int(settings.get("low-detail") or full_detail),
@@ -486,6 +496,9 @@ def encode_geom_tile_batch(
     use_src_wind = bool(settings.get("use-source-polygon-winding"))
     rev_wind = bool(settings.get("reverse-source-polygon-winding"))
     simp = 0 if settings.get("no-line-simplification") else settings["simplification"]
+    # simplify-only-low-zooms (yaml:80): full fidelity at the max zoom
+    if settings.get("simplify-only-low-zooms") and not below_max:
+        simp = 0
     # simplifier choice: Douglas-Peucker (default) or Visvalingam-Whyatt
     # (tippecanoe `visvalingam`, yaml:77; area threshold ~ tol^2/2)
     if settings.get("visvalingam"):
@@ -505,6 +518,8 @@ def encode_geom_tile_batch(
     total = n = 0
     for fid, gtype_s, wkb in sorted(feats)[:cap]:
         gcode = GEOM_TYPE_CODE[gtype_s]
+        if (drop_lines and gcode == 2) or (drop_polys and gcode == 3):
+            continue
         _, coords = geom.wkb_parse(wkb)
         px, py = tiles.tile_local_coords(coords[:, 0], coords[:, 1], z, x, y,
                                          extent=extent)

@@ -294,6 +294,59 @@ def test_no_duplication_single_tile_emit(spark):
     assert len(one) == 1 and one[0].x == 0  # first vertex is west
 
 
+def test_drop_lines_polygons_and_simplify_only_low_zooms():
+    line = geom.wkb_linestring(np.array([[-45.0, 0.0], [45.0, 0.0]]))
+    poly = geom.wkb_polygon(np.array(
+        [[-60.0, -40.0], [60.0, -40.0], [60.0, 40.0], [-60.0, 40.0],
+         [-60.0, -40.0]]))
+    feats = [(1, "linestring", line), (2, "polygon", poly)]
+
+    s = TilingSettings()
+    s["drop-lines"] = True
+    # below maxz: line dropped, polygon kept
+    blob, n = mvt.encode_geom_tile_batch(0, 0, 0, feats, s, maxz=4)
+    assert n == 1 and mvt.decode_tile(blob)["features"][0]["id"] == 2
+    # at maxz: nothing dropped
+    _, n_full = mvt.encode_geom_tile_batch(0, 0, 0, feats, s, maxz=0)
+    assert n_full == 2
+
+    s2 = TilingSettings()
+    s2["drop-polygons"] = True
+    blob2, n2 = mvt.encode_geom_tile_batch(0, 0, 0, feats, s2, maxz=4)
+    assert n2 == 1 and mvt.decode_tile(blob2)["features"][0]["id"] == 1
+
+    # simplify-only-low-zooms: a vertex DP would remove (perp ~5px < 10)
+    # survives at the max zoom, drops below it
+    wiggle = geom.wkb_linestring(np.array(
+        [[-45.0, 0.0], [0.0, 0.44], [45.0, 0.0]]))
+    s3 = TilingSettings()
+    s3["simplify-only-low-zooms"] = True
+    blob_max, _ = mvt.encode_geom_tile_batch(
+        0, 0, 0, [(1, "linestring", wiggle)], s3, maxz=0)
+    assert len(mvt.decode_tile(blob_max)["features"][0]["geometry"][0]) == 3
+    blob_low, _ = mvt.encode_geom_tile_batch(
+        0, 0, 0, [(1, "linestring", wiggle)], s3, maxz=4)
+    assert len(mvt.decode_tile(blob_low)["features"][0]["geometry"][0]) == 2
+
+
+def test_use_attribute_for_id(spark):
+    from cloudtile_spark.operators.extract import extract_features
+    from cloudtile_spark.sources.pages import synth_pages
+
+    feats = extract_features(synth_pages(spark, 50, partitions=2)
+                             .drop("page_id"))
+    # plant a numeric id attribute inside props
+    feats = feats.withColumn(
+        "props", F.map_concat(
+            "props", F.create_map(F.lit("nid"),
+                                  (F.col("feature_id") + 1000).cast("string"))))
+    s = TilingSettings()
+    s["use-attribute-for-id"] = "nid"
+    r = mvt.encode_point_tiles(feats, 0, 0, settings=s).collect()[0]
+    ids = sorted(f["id"] for f in mvt.decode_tile(bytes(r.mvt))["features"])
+    assert all(i >= 1000 for i in ids)
+
+
 def test_visvalingam_kernel():
     line = np.array([[0., 0.], [1., 0.001], [2., 0.], [3., 5.], [4., 0.]])
     out = geom.visvalingam(line, min_area=0.5)
