@@ -277,8 +277,18 @@ def encode_point_tiles(
     sorts by feature_id; cap and byte budget drop the HIGHEST ids first.
     """
     settings = settings if settings is not None else TilingSettings()
+    # feature cap: limit-tile-feature-count[-at-maximum-zoom] override the
+    # default cap (yaml:105-107); no-feature-limit / no-tile-size-limit
+    # lift the budgets entirely
     cap = settings["maximum-tile-features"]
+    if settings.get("limit-tile-feature-count"):
+        cap = int(settings["limit-tile-feature-count"])
+    cap_at_max = settings.get("limit-tile-feature-count-at-maximum-zoom")
+    if settings.get("no-feature-limit"):
+        cap = cap_at_max = 1 << 62
     max_bytes = settings["maximum-tile-bytes"]
+    if settings.get("no-tile-size-limit"):
+        max_bytes = 1 << 62
     # tile resolution: full-detail d => extent 2^d (tippecanoe yaml:31-33;
     # tippecanoe default d=12 -> 4096)
     extent = 1 << int(settings.get("full-detail") or 12)
@@ -294,25 +304,54 @@ def encode_point_tiles(
     exclude_all = bool(settings.get("exclude-all"))
     include = settings.get("include")
     exclude = settings.get("exclude")
+    # named-layer (yaml: named-layer): settings override the layer name
+    layer = settings.get("named-layer") or layer
     # settings-driven feature filtering (tippecanoe feature-filter /
     # feature-filter-file, yaml:47-48): compiled to a Catalyst predicate
     # BEFORE the zoom explode so it pushes toward the scan
     from .filters import apply_feature_filter
     features = apply_feature_filter(features, settings, layer)
+    # single-precision (yaml:53): coordinates pass through float32 — the
+    # storage-halving cast a pipeline applies before wide fan-out
+    if settings.get("single-precision"):
+        features = features.withColumn(
+            "lon", F.col("lon").cast("float").cast("double")
+        ).withColumn("lat", F.col("lat").cast("float").cast("double"))
+    # drop-rate + base-zoom (yaml:54-56, B10 as SETTINGS): below the base
+    # zoom, keep a deterministic hash-sample of rate^(base_zoom - z) —
+    # pure Catalyst predicate on (feature_id, z), no Python
+    drop_rate = settings.get("drop-rate")
+    base_zoom = settings.get("base-zoom")
+    if base_zoom == "g" or base_zoom is None:
+        base_zoom = maxz
+    if settings.get("limit-base-zoom-to-maximum-zoom"):
+        base_zoom = min(int(base_zoom), maxz)
     cols = ["feature_id", "lon", "lat"] + (["props"] if has_props else [])
 
     df = assign_xy(explode_zooms(features.select(*cols), minz, maxz))
+    if drop_rate:
+        keep = (
+            F.when(F.col("z") >= F.lit(int(base_zoom)), F.lit(True))
+            .otherwise(
+                (F.pmod(F.xxhash64("feature_id", "z"), F.lit(1_000_000))
+                 / 1_000_000.0)
+                < F.pow(F.lit(1.0 / float(drop_rate)),
+                        F.lit(int(base_zoom)) - F.col("z"))
+            )
+        )
+        df = df.filter(keep)
 
     def enc(key, pdf: pd.DataFrame) -> pd.DataFrame:
         z, x, y = int(key[0]), int(key[1]), int(key[2])
+        eff_cap = int(cap_at_max) if (cap_at_max and z == maxz) else cap
         if order_key:
             pdf = pdf.assign(
                 _ok=pdf.props.map(lambda p: (p or {}).get(order_key, ""))
             ).sort_values(["_ok", "feature_id"],
                           ascending=[not order_desc, True])
-            pdf = pdf.head(cap)
+            pdf = pdf.head(eff_cap)
         else:
-            pdf = pdf.sort_values("feature_id").head(cap)
+            pdf = pdf.sort_values("feature_id").head(eff_cap)
         px, py = tiles.tile_local_coords(
             pdf.lon.values, pdf.lat.values, z, x, y, extent=extent)
         # per-tile attribute tables (MVT layer keys/values, dedup'd);
@@ -496,9 +535,14 @@ def encode_geom_tile_batch(
     use_src_wind = bool(settings.get("use-source-polygon-winding"))
     rev_wind = bool(settings.get("reverse-source-polygon-winding"))
     simp = 0 if settings.get("no-line-simplification") else settings["simplification"]
-    # simplify-only-low-zooms (yaml:80): full fidelity at the max zoom
-    if settings.get("simplify-only-low-zooms") and not below_max:
-        simp = 0
+    # simplify-only-low-zooms (yaml:80): full fidelity at the max zoom;
+    # simplification-at-maximum-zoom (yaml:78): separate maxz tolerance
+    if not below_max:
+        if settings.get("simplify-only-low-zooms"):
+            simp = 0
+        elif settings.get("simplification-at-maximum-zoom") is not None \
+                and not settings.get("no-line-simplification"):
+            simp = settings["simplification-at-maximum-zoom"]
     # simplifier choice: Douglas-Peucker (default) or Visvalingam-Whyatt
     # (tippecanoe `visvalingam`, yaml:77; area threshold ~ tol^2/2)
     if settings.get("visvalingam"):
@@ -509,6 +553,11 @@ def encode_geom_tile_batch(
     buffer_px = settings.get("buffer") or 5
     no_clip = bool(settings.get("no-clipping"))
     tiny = settings.get("tiny-polygon-size") or 9  # spec default ~3x3 px
+    if settings.get("no-tiny-polygon-reduction"):
+        tiny = 0
+    # convert-polygons-to-label-points (yaml: label points): every polygon
+    # collapses to its representative point
+    label_points = bool(settings.get("convert-polygons-to-label-points"))
 
     lon_min, lat_min, lon_max, lat_max = (
         float(v[0]) for v in tiles.tile_bounds(
@@ -543,7 +592,14 @@ def encode_geom_tile_batch(
             # would legally collapse a sub-pixel ring to nothing): a ring
             # under the size threshold becomes its representative point
             raw_area = abs(geom.shoelace_area(pts))
-            if raw_area < tiny:
+            if label_points:
+                c = pts.mean(axis=0)
+                if no_clip or (lo <= c[0] <= hi and lo <= c[1] <= hi):
+                    gcode = 1
+                    parts = [np.round(c)[None, :].astype(np.int64)]
+                else:
+                    continue
+            elif raw_area < tiny:
                 c = pts.mean(axis=0)
                 if no_clip or (lo <= c[0] <= hi and lo <= c[1] <= hi):
                     gcode = 1

@@ -347,6 +347,94 @@ def test_use_attribute_for_id(spark):
     assert all(i >= 1000 for i in ids)
 
 
+def test_named_layer_and_feature_limits(spark):
+    feats = extract_features(synth_pages(spark, 300, partitions=2)
+                             .drop("page_id"))
+    s = TilingSettings()
+    s["named-layer"] = "roads"
+    s["limit-tile-feature-count"] = 25
+    r = mvt.encode_point_tiles(feats, 0, 0, settings=s).collect()[0]
+    dec = mvt.decode_tile(bytes(r.mvt))
+    assert dec["name"] == "roads"
+    assert len(dec["features"]) == 25
+    # limit-tile-feature-count-at-maximum-zoom wins at maxz
+    s["limit-tile-feature-count-at-maximum-zoom"] = 40
+    r2 = mvt.encode_point_tiles(feats, 0, 0, settings=s).collect()[0]
+    assert len(mvt.decode_tile(bytes(r2.mvt))["features"]) == 40
+    # no-feature-limit lifts the cap entirely
+    s2 = TilingSettings()
+    s2["limit-tile-feature-count"] = 25
+    s2["no-feature-limit"] = True
+    r3 = mvt.encode_point_tiles(feats, 0, 0, settings=s2).collect()[0]
+    assert len(mvt.decode_tile(bytes(r3.mvt))["features"]) == 300
+
+
+def test_drop_rate_base_zoom_settings(spark):
+    feats = extract_features(synth_pages(spark, 400, partitions=2)
+                             .drop("page_id"))
+    s = TilingSettings()
+    s["drop-rate"] = 2.5
+    s["base-zoom"] = 4
+    t = {(r.z): r for r in
+         mvt.encode_point_tiles(feats, 0, 4, settings=s)
+         .groupBy("z").agg(F.sum("feature_count").alias("n")).collect()}
+    n_at_base = t[4].n
+    # at the base zoom everything is kept; below it the deterministic
+    # hash-sample thins by ~rate per zoom step
+    assert n_at_base == 400
+    assert t[3].n < n_at_base and t[0].n < t[3].n
+    # deterministic: re-run yields identical counts
+    t2 = {(r.z): r.n for r in
+          mvt.encode_point_tiles(feats, 0, 4, settings=s)
+          .groupBy("z").agg(F.sum("feature_count").alias("n")).collect()}
+    assert t2 == {z: r.n for z, r in t.items()}
+
+
+def test_label_points_and_no_tiny_reduction():
+    big = geom.wkb_polygon(np.array(
+        [[-60.0, -40.0], [60.0, -40.0], [60.0, 40.0], [-60.0, 40.0],
+         [-60.0, -40.0]]))
+    s = TilingSettings()
+    s["convert-polygons-to-label-points"] = True
+    blob, _ = mvt.encode_geom_tile_batch(0, 0, 0, [(1, "polygon", big)], s)
+    f = mvt.decode_tile(blob)["features"][0]
+    assert f["type"] == 1 and len(f["geometry"][0]) == 1  # label point
+    # a sub-threshold ring normally reduces to a point; the option keeps it
+    tiny_ring = geom.wkb_polygon(np.array(
+        [[0.0, 0.0], [0.1, 0.0], [0.1, 0.1], [0.0, 0.1], [0.0, 0.0]]))
+    s2 = TilingSettings()
+    blob2, _ = mvt.encode_geom_tile_batch(0, 0, 0, [(1, "polygon", tiny_ring)], s2)
+    assert mvt.decode_tile(blob2)["features"][0]["type"] == 1
+    s3 = TilingSettings()
+    s3["no-tiny-polygon-reduction"] = True
+    blob3, _ = mvt.encode_geom_tile_batch(0, 0, 0, [(1, "polygon", tiny_ring)], s3)
+    assert mvt.decode_tile(blob3)["features"][0]["type"] == 3
+
+
+def test_simplification_at_maximum_zoom():
+    # vertex with perp distance ~5px: kept at tol 2, dropped at default 10
+    wiggle = geom.wkb_linestring(np.array(
+        [[-45.0, 0.0], [0.0, 0.44], [45.0, 0.0]]))
+    s = TilingSettings()
+    s["simplification-at-maximum-zoom"] = 2
+    blob_max, _ = mvt.encode_geom_tile_batch(
+        0, 0, 0, [(1, "linestring", wiggle)], s, maxz=0)
+    assert len(mvt.decode_tile(blob_max)["features"][0]["geometry"][0]) == 3
+    blob_low, _ = mvt.encode_geom_tile_batch(
+        0, 0, 0, [(1, "linestring", wiggle)], s, maxz=4)  # below maxz: tol 10
+    assert len(mvt.decode_tile(blob_low)["features"][0]["geometry"][0]) == 2
+
+
+def test_single_precision_runs_and_preserves_counts(spark):
+    feats = extract_features(synth_pages(spark, 100, partitions=2)
+                             .drop("page_id"))
+    s = TilingSettings()
+    s["single-precision"] = True
+    r = mvt.encode_point_tiles(feats, 0, 0, settings=s).collect()[0]
+    assert mvt.decode_tile(bytes(r.mvt))["features"]
+    assert r.feature_count == 100
+
+
 def test_visvalingam_kernel():
     line = np.array([[0., 0.], [1., 0.001], [2., 0.], [3., 5.], [4., 0.]])
     out = geom.visvalingam(line, min_area=0.5)
