@@ -214,6 +214,11 @@ def main(argv: Optional[list[str]] = None) -> int:
             pm = f"{name}.pmtiles"
             meta = {"name": stem,
                     "tilestats": tilestats(feats, settings)}
+            # archive metadata passthrough (tippecanoe yaml: attribution /
+            # description)
+            for mk in ("attribution", "description"):
+                if settings.get(mk):
+                    meta[mk] = settings[mk]
             stats = write_pmtiles_stream(
                 pm, sorted_tile_stream(tiles_src),
                 settings["minimum-zoom"], maxz, metadata=meta)

@@ -263,6 +263,16 @@ TILE_SCHEMA = T.StructType([
 ])
 
 
+def _check_projection(settings: TilingSettings) -> None:
+    """tippecanoe ``projection`` (yaml:23-24, default null => EPSG:4326
+    input): only 4326 is supported — anything else fails loudly rather
+    than silently mis-projecting."""
+    proj = settings.get("projection")
+    if proj and str(proj).upper().lstrip("EPSG:") != "4326":
+        raise NotImplementedError(
+            f"projection {proj!r} unsupported (EPSG:4326 input only)")
+
+
 def encode_point_tiles(
     features: DataFrame,
     minz: int,
@@ -277,6 +287,7 @@ def encode_point_tiles(
     sorts by feature_id; cap and byte budget drop the HIGHEST ids first.
     """
     settings = settings if settings is not None else TilingSettings()
+    _check_projection(settings)
     # feature cap: limit-tile-feature-count[-at-maximum-zoom] override the
     # default cap (yaml:105-107); no-feature-limit / no-tile-size-limit
     # lift the budgets entirely

@@ -146,7 +146,9 @@ def tilestats(features_df, settings=None, layer: str = "features") -> dict:
     if settings.get("no-tile-stats"):
         return {}
     attr_limit = int(settings.get("tile-stats-attributes-limit") or 1000)
-    val_limit = int(settings.get("tile-stats-values-limit") or 100)
+    val_limit = int(settings.get("tile-stats-values-limit")
+                    or settings.get("tile-stats-sample-values-limit")
+                    or 100)
     if "props" not in features_df.columns:
         attributes = []
     else:

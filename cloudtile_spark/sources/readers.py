@@ -48,6 +48,51 @@ def read_features_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_csv_points(
+    spark: SparkSession, path: str,
+    empty_columns_are_null: bool = True,
+) -> DataFrame:
+    """CSV point features (tippecanoe's csv input): header row with
+    feature_id, lon, lat columns; every other column becomes a props map
+    entry. ``empty_columns_are_null`` = the tippecanoe
+    ``empty-csv-columns-are-null`` option: '' parses to NULL (and the
+    props entry is dropped) instead of an empty-string attribute.
+
+    Distributed scan (spark.read.csv splits by line) — no driver parsing.
+    """
+    raw = spark.read.option("header", True).csv(path)
+    for col in ("feature_id", "lon", "lat"):
+        if col not in raw.columns:
+            raise ValueError(f"csv source missing required column {col!r}")
+    attr_cols = [c for c in raw.columns
+                 if c not in ("feature_id", "lon", "lat")]
+    out = raw.select(
+        F.col("feature_id").cast("long").alias("feature_id"),
+        F.col("lon").cast("double").alias("lon"),
+        F.col("lat").cast("double").alias("lat"),
+        F.lit("point").alias("geom_type"),
+        *[F.col(c) for c in attr_cols],
+    ).filter(F.col("feature_id").isNotNull()
+             & F.col("lon").isNotNull() & F.col("lat").isNotNull())
+    if attr_cols:
+        if empty_columns_are_null:
+            entries = [
+                F.when(F.col(c).isNotNull() & (F.col(c) != ""),
+                       F.struct(F.lit(c).alias("k"), F.col(c).alias("v")))
+                for c in attr_cols
+            ]
+            props = F.map_from_entries(
+                F.filter(F.array(*entries), lambda e: e.isNotNull()))
+        else:
+            props = F.map_from_entries(F.array(*[
+                F.struct(F.lit(c).alias("k"),
+                         F.coalesce(F.col(c), F.lit("")).alias("v"))
+                for c in attr_cols
+            ]))
+        out = out.withColumn("props", props)
+    return out.drop(*attr_cols)
+
+
 def read_gpkg_points(spark: SparkSession, path: str) -> DataFrame:
     """GeoPackage point reader (reference source format, geofile.py:136).
 
@@ -98,6 +143,7 @@ READERS = {
     "json": read_geojson_points,
     "parquet": read_features_parquet,
     "gpkg": read_gpkg_points,
+    "csv": read_csv_points,
 }
 
 

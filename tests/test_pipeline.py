@@ -248,3 +248,43 @@ def test_gpkg_reader(spark, tmp_path):
     df = load_features(spark, p)
     got = sorted((r.feature_id, r.lon, r.lat) for r in df.collect())
     assert got == coords
+
+
+def test_csv_reader_and_empty_columns_option(spark, tmp_path):
+    from cloudtile_spark.sources.readers import load_features, read_csv_points
+
+    p = tmp_path / "pts.csv"
+    p.write_text(
+        "feature_id,lon,lat,name,cls\n"
+        "1,10.5,20.25,alpha,road\n"
+        "2,-30.0,5.0,,rail\n"
+        "3,1.0,2.0,gamma,\n"
+    )
+    df = load_features(spark, str(p))
+    rows = {r.feature_id: r for r in df.collect()}
+    assert len(rows) == 3 and rows[1].lon == 10.5
+    # empty-csv-columns-are-null default: '' entries dropped from props
+    assert dict(rows[2].props) == {"cls": "rail"}
+    assert dict(rows[3].props) == {"name": "gamma"}
+    # option off: empty strings preserved as attributes
+    df2 = read_csv_points(spark, str(p), empty_columns_are_null=False)
+    r2 = {r.feature_id: r for r in df2.collect()}
+    assert dict(r2[2].props) == {"name": "", "cls": "rail"}
+    # missing required column fails loudly
+    bad = tmp_path / "bad.csv"
+    bad.write_text("id,x,y\n1,0,0\n")
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        read_csv_points(spark, str(bad))
+
+
+def test_projection_guard(spark, features):
+    from cloudtile_spark.operators import mvt
+    from cloudtile_spark.settings import TilingSettings
+
+    s = TilingSettings()
+    s["projection"] = "EPSG:3857"
+    with pytest.raises(NotImplementedError):
+        mvt.encode_point_tiles(features, 0, 0, settings=s)
+    s["projection"] = "epsg:4326"  # accepted
+    assert mvt.encode_point_tiles(features, 0, 0, settings=s).count() == 1
