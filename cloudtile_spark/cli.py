@@ -198,6 +198,14 @@ def main(argv: Optional[list[str]] = None) -> int:
             maxz = guess_max_zoom(feats, settings["maximum-tile-features"])
         name = output_name(stem, settings["minimum-zoom"], maxz, args.suffix)
         out = args.out or str(Path.cwd() / name)  # JVM-cwd-proof default
+        # force / allow-existing (tippecanoe yaml:12-13; force is the
+        # reference's ACTIVE default): without either, an existing output
+        # is an error rather than a silent overwrite
+        if (Path(out).exists() and not settings.get("force")
+                and not settings.get("allow-existing")):
+            raise SystemExit(
+                f"output {out} exists; pass force=true (default) or "
+                f"allow-existing=true to proceed")
 
         from .operators.mvt import encode_point_tiles
         tiles_df = encode_point_tiles(

@@ -362,7 +362,10 @@ def encode_point_tiles(
                           ascending=[not order_desc, True])
             pdf = pdf.head(eff_cap)
         else:
-            pdf = pdf.sort_values("feature_id").head(eff_cap)
+            # `reverse` (yaml:87): reverse input order — descending ids
+            pdf = pdf.sort_values(
+                "feature_id",
+                ascending=not bool(settings.get("reverse"))).head(eff_cap)
         px, py = tiles.tile_local_coords(
             pdf.lon.values, pdf.lat.values, z, x, y, extent=extent)
         # per-tile attribute tables (MVT layer keys/values, dedup'd);
@@ -576,7 +579,27 @@ def encode_geom_tile_batch(
     )
     blobs: list[bytes] = []
     total = n = 0
-    for fid, gtype_s, wkb in sorted(feats)[:cap]:
+    # in-tile ordering: default ascending feature_id (preserve-input-order
+    # for monotone ids); order-smallest-first / order-largest-first
+    # (yaml:88-89) rank polygons by ring area so the cap keeps the chosen
+    # end of the size distribution, id-tiebroken for determinism
+    if settings.get("order-smallest-first") or \
+            settings.get("order-largest-first"):
+        desc = bool(settings.get("order-largest-first"))
+
+        def _area(item):
+            _, gt, wkb_ = item
+            if GEOM_TYPE_CODE[gt] != 3:
+                return 0.0
+            _, c = geom.wkb_parse(wkb_)
+            return abs(geom.shoelace_area(c))
+
+        ordered = sorted(feats,
+                         key=lambda f: (-_area(f) if desc else _area(f),
+                                        f[0]))[:cap]
+    else:
+        ordered = sorted(feats)[:cap]
+    for fid, gtype_s, wkb in ordered:
         gcode = GEOM_TYPE_CODE[gtype_s]
         if (drop_lines and gcode == 2) or (drop_polys and gcode == 3):
             continue

@@ -435,6 +435,56 @@ def test_single_precision_runs_and_preserves_counts(spark):
     assert r.feature_count == 100
 
 
+def test_reverse_and_area_ordering(spark):
+    feats = extract_features(synth_pages(spark, 100, partitions=2)
+                             .drop("page_id"))
+    s = TilingSettings()
+    s["reverse"] = True
+    s["limit-tile-feature-count"] = 10
+    r = mvt.encode_point_tiles(feats, 0, 0, settings=s).collect()[0]
+    ids = [f["id"] for f in mvt.decode_tile(bytes(r.mvt))["features"]]
+    assert len(ids) == 10 and min(ids) >= 90  # cap kept the HIGHEST ids
+
+    # area ordering: cap=1 keeps the smallest / largest polygon
+    small = geom.wkb_polygon(np.array(
+        [[0.0, 0.0], [20.0, 0.0], [20.0, 20.0], [0.0, 20.0], [0.0, 0.0]]))
+    big = geom.wkb_polygon(np.array(
+        [[-80.0, -60.0], [80.0, -60.0], [80.0, 60.0], [-80.0, 60.0],
+         [-80.0, -60.0]]))
+    feats2 = [(1, "polygon", big), (2, "polygon", small)]
+    s_small = TilingSettings()
+    s_small["order-smallest-first"] = True
+    s_small["maximum-tile-features"] = 1
+    blob, _ = mvt.encode_geom_tile_batch(0, 0, 0, feats2, s_small)
+    assert mvt.decode_tile(blob)["features"][0]["id"] == 2
+    s_big = TilingSettings()
+    s_big["order-largest-first"] = True
+    s_big["maximum-tile-features"] = 1
+    blob2, _ = mvt.encode_geom_tile_batch(0, 0, 0, feats2, s_big)
+    assert mvt.decode_tile(blob2)["features"][0]["id"] == 1
+
+
+def test_force_and_allow_existing(tmp_path, spark, monkeypatch):
+    from cloudtile_spark.cli import main
+    from cloudtile_spark.sources.pages import synth_pages as sp
+
+    monkeypatch.chdir(tmp_path)
+    sp(spark, 50, partitions=2).drop("page_id") \
+        .write.parquet(str(tmp_path / "p.parquet"))
+    out = str(tmp_path / "p-0-1")
+    args = ["convert", "single-step", str(tmp_path / "p.parquet"),
+            "0", "1", "--cores", "2", "--out", out]
+    assert main(args) == 0
+    # force defaults True (the reference's active default) -> overwrite ok
+    assert main(args) == 0
+    # force=false + existing output -> loud error
+    with pytest.raises(SystemExit, match="exists"):
+        main(args + ["--tc-kwargs", "force=false"])
+    # allow-existing permits it again
+    assert main(args + ["--tc-kwargs", "force=false",
+                        "allow-existing=true"]) == 0
+
+
 def test_visvalingam_kernel():
     line = np.array([[0., 0.], [1., 0.001], [2., 0.], [3., 5.], [4., 0.]])
     out = geom.visvalingam(line, min_area=0.5)
