@@ -156,6 +156,65 @@ def winnow_fingerprints_sql(d: Dialect, k: int = 3, w: int = 4) -> str:
     """
 
 
+def minhash_band_rows_sql(d: Dialect, corpus_cte: str, k: int = 3) -> str:
+    """Stage 1 of the LSH pipeline as a standalone statement:
+    (doc_id, band, key) — one row per (doc, band). The EXPENSIVE stage
+    (shingle hashing + 16 minhash perms); materialize/persist it once on
+    the Spark side, since CTE inlining would recompute it per reference."""
+    sigc = d.minhash_sig_cols("hashes")
+    bands = d.band_keys(sigc)
+    key_case = ("CASE v.band " + " ".join(
+        f"WHEN {i} THEN bk{i}" for i in range(BANDS)) + " END")
+    return f"""
+    WITH {corpus_cte},
+    hashed AS (
+      SELECT doc_id, {d.shingle_hashes('text', k)} AS hashes FROM corpus),
+    sigs AS (
+      SELECT doc_id,
+             {', '.join(f'{b} AS bk{i}' for i, b in enumerate(bands))}
+      FROM hashed)
+    SELECT doc_id, v.band AS band, {key_case} AS key FROM sigs
+    CROSS JOIN (VALUES {', '.join(f'({i})' for i in range(BANDS))})
+    AS v(band)
+    """
+
+
+def minhash_shingles_sql(d: Dialect, corpus_cte: str, k: int = 3) -> str:
+    """Stage 2: (doc_id, sh) distinct shingle sets for exact verification."""
+    sh_distinct = d.distinct.format(l=d.shingles("text", k))
+    return (f"WITH {corpus_cte} "
+            f"SELECT doc_id, {sh_distinct} AS sh FROM corpus")
+
+
+def minhash_verify_sql(d: Dialect, b_tbl: str, shs_tbl: str,
+                       jaccard_min: float = 0.5,
+                       max_bucket: int = 50) -> str:
+    """Stage 3: bucket join + exact-Jaccard verify over materialized
+    stage tables (or CTE names)."""
+    inter = d.intersect.format(a="sa.sh", b="sb.sh")
+    return f"""
+    WITH sized AS (
+      SELECT band, key FROM {b_tbl} GROUP BY band, key
+      HAVING count(*) BETWEEN 2 AND {max_bucket}),
+    cand AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM {b_tbl} x JOIN sized s ON x.band = s.band AND x.key = s.key
+      JOIN {b_tbl} y ON y.band = s.band AND y.key = s.key
+       AND x.doc_id < y.doc_id
+      GROUP BY x.doc_id, y.doc_id),
+    scored AS (
+      SELECT c.doc_a, c.doc_b,
+             cast({d.size.format(l=inter)} as double)
+               / cast({d.size.format(l='sa.sh')}
+                      + {d.size.format(l='sb.sh')}
+                      - {d.size.format(l=inter)} as double) AS jac
+      FROM cand c
+      JOIN {shs_tbl} sa ON sa.doc_id = c.doc_a
+      JOIN {shs_tbl} sb ON sb.doc_id = c.doc_b)
+    SELECT doc_a, doc_b, jac FROM scored WHERE jac >= {jaccard_min}
+    """
+
+
 def minhash_lsh_pairs_sql(d: Dialect, corpus_cte: str,
                           jaccard_min: float = 0.5, k: int = 3,
                           max_bucket: int = 50) -> str:

@@ -828,11 +828,30 @@ def _token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _init_dedup_queries() -> None:
     from .operators import dedup as dd
 
-    _dedup_query(
-        "dedup_minhash_lsh", dd.minhash_lsh_pairs_sql,
+    # minhash: STAGED on the Spark side — the band-rows stage (shingle
+    # hashing + 16 perms) is persisted and referenced 3x by name; inlined
+    # CTEs would recompute it per reference (measured: 20 parquet scans,
+    # ~4-16s -> one scan per stage). Oracle stays the single statement
+    # (identical algorithm; DuckDB materializes CTEs itself).
+    duck_sql = dd.minhash_lsh_pairs_sql(dd.DUCK, dd.PLANTED_CORPUS_CTE)
+
+    def minhash_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        load_views(spark, sf_dir)
+        b = spark.sql(
+            dd.minhash_band_rows_sql(dd.SPARK, dd.PLANTED_CORPUS_CTE))
+        shs = spark.sql(
+            dd.minhash_shingles_sql(dd.SPARK, dd.PLANTED_CORPUS_CTE))
+        b.persist().createOrReplaceTempView("lsh_b")
+        shs.persist().createOrReplaceTempView("lsh_shs")
+        return spark.sql(
+            dd.minhash_verify_sql(dd.SPARK, "lsh_b", "lsh_shs"))
+
+    REGISTRY["dedup_minhash_lsh"] = Query(
+        "dedup_minhash_lsh", minhash_fn, duck_sql,
         "MinHash (16 perms) + LSH (4 bands x 4 rows) near-dup pairs over a "
         "corpus with planted near-duplicates; exact-Jaccard verification on "
-        "band-colliding candidates; hot buckets capped",
+        "band-colliding candidates; hot buckets capped; signature stage "
+        "persisted once on the Spark side",
     )
     _dedup_query(
         "dedup_simhash", dd.simhash_pairs_sql,
