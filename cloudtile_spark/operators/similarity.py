@@ -173,10 +173,37 @@ def ann_lsh_topk_sql(dialect: str, k: int = 10, query_mod: int = 101) -> str:
         )
         for t in range(N_TABLES)
     ]
+    return (
+        f"WITH t AS ({ann_lsh_bucket_table_sql(dialect)}),\n"
+        + ann_lsh_rerank_body_sql(dialect, "t", k=k, query_mod=query_mod)
+    )
+
+
+def ann_lsh_bucket_table_sql(dialect: str) -> str:
+    """Stage 1: (vec_id, embedding, b0..b3) — 16 hyperplane dot products
+    per vector, the expensive stage. Materialize/persist once on the Spark
+    side: the statement references it 10 times (4 match branches x 2 sides
+    + 2 rerank joins), and CTE inlining recomputes it per reference."""
+    buckets = [
+        bucket_sql(
+            "embedding", dialect,
+            planes=list(range(t * PLANES_PER_TABLE,
+                              (t + 1) * PLANES_PER_TABLE)),
+        )
+        for t in range(N_TABLES)
+    ]
     bucket_cols = ", ".join(f"{b} AS b{t}" for t, b in enumerate(buckets))
+    return f"SELECT vec_id, embedding, {bucket_cols} FROM embeddings"
+
+
+def ann_lsh_rerank_body_sql(dialect: str, t_tbl: str,
+                            k: int = 10, query_mod: int = 101) -> str:
+    """Stages 2-3: bucket match union + exact cosine rerank, written
+    against a named bucket table (CTE or persisted view)."""
     matches = " UNION ALL ".join(
         f"SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id "
-        f"FROM q JOIN t e ON q.b{t} = e.b{t} WHERE e.vec_id <> q.vec_id"
+        f"FROM q JOIN {t_tbl} e ON q.b{t} = e.b{t} "
+        f"WHERE e.vec_id <> q.vec_id"
         for t in range(N_TABLES)
     )
     sim = (
@@ -184,14 +211,13 @@ def ann_lsh_topk_sql(dialect: str, k: int = 10, query_mod: int = 101) -> str:
         f"({norm('qe.embedding', dialect)} * {norm('ee.embedding', dialect)})"
     )
     return f"""
-    WITH t AS (SELECT vec_id, embedding, {bucket_cols} FROM embeddings),
-    q AS (SELECT * FROM t WHERE vec_id % {query_mod} = 0),
+    q AS (SELECT * FROM {t_tbl} WHERE vec_id % {query_mod} = 0),
     m AS ({matches}),
     cand AS (SELECT query_id, neighbor_id FROM m GROUP BY query_id, neighbor_id),
     d AS (SELECT c.query_id, c.neighbor_id, {sim} AS sim
           FROM cand c
-          JOIN t qe ON qe.vec_id = c.query_id
-          JOIN t ee ON ee.vec_id = c.neighbor_id),
+          JOIN {t_tbl} qe ON qe.vec_id = c.query_id
+          JOIN {t_tbl} ee ON ee.vec_id = c.neighbor_id),
     r AS (SELECT query_id, neighbor_id,
                  row_number() OVER (PARTITION BY query_id
                                     ORDER BY sim DESC, neighbor_id) AS rank

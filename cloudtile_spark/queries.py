@@ -1009,20 +1009,26 @@ def _ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _init_ann_lsh() -> None:
-    from .operators.similarity import ann_lsh_topk_sql
+    from .operators.similarity import (
+        ann_lsh_bucket_table_sql, ann_lsh_rerank_body_sql, ann_lsh_topk_sql,
+    )
 
-    spark_sql = ann_lsh_topk_sql("spark")
+    # oracle: single statement; Spark: the bucket table (16 dot products
+    # per vector) persists once instead of recomputing per reference
     duck_sql = ann_lsh_topk_sql("duck")
+    stage_sql = ann_lsh_bucket_table_sql("spark")
+    body_sql = "WITH " + ann_lsh_rerank_body_sql("spark", "lsh_t")
 
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_views(spark, sf_dir)
-        return spark.sql(spark_sql)
+        spark.sql(stage_sql).persist().createOrReplaceTempView("lsh_t")
+        return spark.sql(body_sql)
 
     REGISTRY["ann_lsh_topk"] = Query(
         "ann_lsh_topk", fn, duck_sql,
         "LSH-bucketed ANN: 8 random-hyperplane sign bits -> bucket equi-join "
         "-> exact cosine rerank (the scale path; recall vs brute force "
-        "measured in tests)",
+        "measured in tests); bucket table persisted once on the Spark side",
     )
 
 
