@@ -333,6 +333,79 @@ def simhash_pairs_sql(d: Dialect, corpus_cte: str,
     """
 
 
+def simhash_band_rows_sql(d: Dialect, corpus_cte: str) -> str:
+    """Stage 1 of the SimHash pipeline (the expensive sketch computation),
+    standalone so the Spark side persists it once (referenced 2x by the
+    bucket self-join)."""
+    key_case = ("CASE v.band " + " ".join(
+        f"WHEN {b} THEN ((sh >> {8 * b}) & 255) + {b * 256}"
+        for b in range(4)) + " END")
+    return f"""
+    WITH {corpus_cte},
+    hashed AS (
+      SELECT doc_id, {d.shingle_hashes('text', 1)} AS hashes FROM corpus),
+    sketches AS (SELECT doc_id, {simhash_sql(d, 'hashes')} AS sh FROM hashed)
+    SELECT doc_id, sh, {key_case} AS bkey FROM sketches
+    CROSS JOIN (VALUES (0), (1), (2), (3)) AS v(band)
+    """
+
+
+def simhash_verify_sql(d: Dialect, b_tbl: str,
+                       max_hamming: int = 3, max_bucket: int = 100) -> str:
+    """Stage 2: bucket self-join + exact hamming verify over a named
+    band-rows table."""
+    return f"""
+    WITH sized AS (
+      SELECT bkey FROM {b_tbl} GROUP BY bkey
+      HAVING count(*) BETWEEN 2 AND {max_bucket}),
+    cand AS (
+      SELECT x.doc_id AS doc_a, x.sh AS sha, y.doc_id AS doc_b, y.sh AS shb
+      FROM {b_tbl} x JOIN sized s ON x.bkey = s.bkey
+      JOIN {b_tbl} y ON y.bkey = s.bkey AND x.doc_id < y.doc_id
+      GROUP BY x.doc_id, x.sh, y.doc_id, y.sh)
+    SELECT doc_a, doc_b,
+           cast(bit_count({d.xor.format(a='sha', b='shb')}) as bigint)
+             AS hamming
+    FROM cand
+    WHERE bit_count({d.xor.format(a='sha', b='shb')}) <= {max_hamming}
+    """
+
+
+def ngram_shingles_sql(d: Dialect, corpus_cte: str, k: int = 3) -> str:
+    """Stage 1 of the n-gram Jaccard pipeline: distinct shingle sets."""
+    sh_distinct = d.distinct.format(l=d.shingles("text", k))
+    return (f"WITH {corpus_cte} "
+            f"SELECT doc_id, {sh_distinct} AS sh FROM corpus")
+
+
+def ngram_verify_sql(d: Dialect, shs_tbl: str, inv_tbl: str,
+                     jaccard_min: float = 0.5,
+                     rare_max_df: int = 20) -> str:
+    """Stages 2-3: rare-shingle prefilter + exact Jaccard over named
+    shingle-set / inverted-index tables."""
+    inter = d.intersect.format(a="sa.sh", b="sb.sh")
+    return f"""
+    WITH rare AS (
+      SELECT s FROM {inv_tbl} GROUP BY s
+      HAVING count(*) BETWEEN 2 AND {rare_max_df}),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM {inv_tbl} a JOIN rare r ON a.s = r.s
+      JOIN {inv_tbl} b ON b.s = r.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    scored AS (
+      SELECT c.doc_a, c.doc_b,
+             cast({d.size.format(l=inter)} as double)
+               / cast({d.size.format(l='sa.sh')}
+                      + {d.size.format(l='sb.sh')}
+                      - {d.size.format(l=inter)} as double) AS jac
+      FROM cand c
+      JOIN {shs_tbl} sa ON sa.doc_id = c.doc_a
+      JOIN {shs_tbl} sb ON sb.doc_id = c.doc_b)
+    SELECT doc_a, doc_b, jac FROM scored WHERE jac >= {jaccard_min}
+    """
+
+
 def ngram_jaccard_pairs_sql(d: Dialect, corpus_cte: str, k: int = 3,
                             jaccard_min: float = 0.5,
                             rare_max_df: int = 20) -> str:

@@ -853,15 +853,36 @@ def _init_dedup_queries() -> None:
         "band-colliding candidates; hot buckets capped; signature stage "
         "persisted once on the Spark side",
     )
-    _dedup_query(
-        "dedup_simhash", dd.simhash_pairs_sql,
+    # simhash / ngram: same staging pattern — persist the expensive stage
+    # once on the Spark side; oracle keeps the single statement
+    def simhash_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        load_views(spark, sf_dir)
+        spark.sql(dd.simhash_band_rows_sql(dd.SPARK, dd.PLANTED_CORPUS_CTE)) \
+            .persist().createOrReplaceTempView("sim_b")
+        return spark.sql(dd.simhash_verify_sql(dd.SPARK, "sim_b"))
+
+    REGISTRY["dedup_simhash"] = Query(
+        "dedup_simhash", simhash_fn,
+        dd.simhash_pairs_sql(dd.DUCK, dd.PLANTED_CORPUS_CTE),
         "32-bit SimHash near-dup pairs: per-bit majority sketch, 8-bit band "
-        "blocking, exact hamming verify (bit_count(xor))",
+        "blocking, exact hamming verify (bit_count(xor)); sketch stage "
+        "persisted once on the Spark side",
     )
-    _dedup_query(
-        "dedup_ngram_jaccard", dd.ngram_jaccard_pairs_sql,
+
+    def ngram_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        load_views(spark, sf_dir)
+        spark.sql(dd.ngram_shingles_sql(dd.SPARK, dd.PLANTED_CORPUS_CTE)) \
+            .persist().createOrReplaceTempView("ng_shs")
+        spark.sql("SELECT doc_id, explode(sh) AS s FROM ng_shs") \
+            .persist().createOrReplaceTempView("ng_inv")
+        return spark.sql(dd.ngram_verify_sql(dd.SPARK, "ng_shs", "ng_inv"))
+
+    REGISTRY["dedup_ngram_jaccard"] = Query(
+        "dedup_ngram_jaccard", ngram_fn,
+        dd.ngram_jaccard_pairs_sql(dd.DUCK, dd.PLANTED_CORPUS_CTE),
         "exact 3-gram Jaccard pairs with rare-shingle inverted-index "
-        "prefilter (bounded candidates, no cross-join)",
+        "prefilter (bounded candidates, no cross-join); shingle stages "
+        "persisted once on the Spark side",
     )
 
 
