@@ -927,6 +927,55 @@ _shared_sql(
 )
 
 
+# End-to-end corpus-prep composition — the single query shape a training
+# pipeline actually runs: language-ID gate (predicted == labeled), length
+# band, stopword-ratio floor, and normalization-fingerprint dedup keeper,
+# all in ONE Catalyst plan (filters stay pushable; dedup is one hash agg).
+_PIPE_TMPL = """
+    WITH m AS (
+      SELECT doc_id, lang,
+             length(text) AS n_chars,
+             {occ_space} + 1 AS n_tokens,
+             cast({stop_sum} as double)
+               / cast({occ_space} + 1 as double) AS swr,
+             {s_en} AS s_en, {s_es} AS s_es, {s_fr} AS s_fr,
+             md5(lower(regexp_replace(text, '{ws}', ' '{g}))) AS fp
+      FROM documents),
+    p AS (
+      SELECT doc_id, lang, n_chars, n_tokens, swr, fp,
+             CASE WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                  WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS pred_lang
+      FROM m),
+    k AS (SELECT fp, min(doc_id) AS keeper FROM p GROUP BY fp)
+    SELECT p.doc_id, p.n_chars, p.n_tokens, p.pred_lang
+    FROM p JOIN k ON p.fp = k.fp AND p.doc_id = k.keeper
+    WHERE p.n_chars BETWEEN 100 AND 10000
+      AND p.swr >= 0.02
+      AND p.pred_lang = p.lang
+"""
+
+
+def _init_corpus_prep() -> None:
+    parts = dict(
+        occ_space=_occurs("text", " "),
+        stop_sum=" + ".join(_occurs("text", w) for w in _STOP),
+        s_en=_lang_score("en"), s_es=_lang_score("es"),
+        s_fr=_lang_score("fr"),
+    )
+    spark_sql = _PIPE_TMPL.format(ws="\\\\s+", g="", **parts)
+    duck_sql = _PIPE_TMPL.format(ws="\\s+", g=", 'g'", **parts)
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        load_views(spark, sf_dir)
+        return spark.sql(spark_sql)
+
+    REGISTRY["corpus_prep_pipeline"] = Query(
+        "corpus_prep_pipeline", fn, duck_sql,
+        "end-to-end corpus-prep composition: lang-ID gate + length band + "
+        "stopword floor + fingerprint-dedup keeper in one Catalyst plan",
+    )
+
+
 @_register(
     "doc_fingerprint",
     "SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) "
@@ -968,6 +1017,8 @@ _shared_sql(
     """,
     doc="n-gram/marker-count language-ID heuristic (deterministic argmax)",
 )
+
+_init_corpus_prep()  # needs _occurs/_STOP/_lang_score defined above
 
 
 # ===========================================================================
