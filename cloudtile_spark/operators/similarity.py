@@ -165,14 +165,6 @@ def ann_lsh_topk_sql(dialect: str, k: int = 10, query_mod: int = 101) -> str:
     the oracle runs the identical algorithm so the IMPLEMENTATION is still
     exactly checked.
     """
-    buckets = [
-        bucket_sql(
-            "embedding", dialect,
-            planes=list(range(t * PLANES_PER_TABLE,
-                              (t + 1) * PLANES_PER_TABLE)),
-        )
-        for t in range(N_TABLES)
-    ]
     return (
         f"WITH t AS ({ann_lsh_bucket_table_sql(dialect)}),\n"
         + ann_lsh_rerank_body_sql(dialect, "t", k=k, query_mod=query_mod)
@@ -224,3 +216,73 @@ def ann_lsh_rerank_body_sql(dialect: str, t_tbl: str,
           FROM d)
     SELECT query_id, neighbor_id, rank FROM r WHERE rank <= {k}
     """
+
+
+def kmeans_embeddings(embeddings, k: int = 8, iters: int = 5):
+    """Lloyd's k-means over an ``embedding: array<float>`` column —
+    the iterative-algorithm pattern on Spark done right for scale:
+
+    - centroids are a k x dim NumPy array on the DRIVER (tiny), shipped to
+      executors inside the Arrow-batched assignment UDF's closure (the
+      broadcast pattern);
+    - each iteration is ONE distributed job: vectorized argmin assignment
+      (mapInPandas, no per-row Python) + per-dimension mean aggregation
+      (64 avg() columns, map-side combinable) + a k-row collect;
+    - deterministic up to float aggregation order: init = the k lowest
+      vec_ids' vectors, L2 argmin ties break to the lowest centroid id,
+      empty clusters keep their previous centroid. Centroid means are
+      distributed double sums, so across DIFFERENT partitionings the
+      trajectory agrees only to the ulp — assignments are stable in
+      practice and inertia matches within 1e-9 relative (pinned in
+      tests); within one partitioning the run is exactly reproducible.
+
+    Returns (assignments DataFrame(vec_id, cid, dist2), centroids ndarray,
+    inertia_history list) — inertia is monotonically non-increasing by
+    Lloyd's theorem (asserted in tests).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    dim = len(embeddings.select("embedding").first()[0])
+    init = (embeddings.orderBy("vec_id").limit(k)
+            .select("embedding").collect())
+    centroids = np.array([r.embedding for r in init], dtype=np.float64)
+
+    def assign_factory(cents: "np.ndarray"):
+        def assign(batches):
+            for pdf in batches:
+                m = np.stack(pdf.embedding.to_numpy()).astype(np.float64)
+                # (n, k) squared L2 distances; argmin picks the LOWEST cid
+                # on ties (np.argmin is first-occurrence)
+                d2 = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+                cid = d2.argmin(axis=1)
+                yield pd.DataFrame({
+                    "vec_id": pdf.vec_id.to_numpy(),
+                    "cid": cid.astype(np.int32),
+                    "dist2": d2[np.arange(len(cid)), cid],
+                })
+        return assign
+
+    schema = "vec_id long, cid int, dist2 double"
+    history = []
+    for _ in range(iters):
+        assigned = embeddings.select("vec_id", "embedding") \
+            .mapInPandas(assign_factory(centroids.copy()), schema=schema)
+        # inertia + new centroids in one aggregate job
+        stats = embeddings.select("vec_id", "embedding").join(
+            assigned.select("vec_id", "cid", "dist2"), "vec_id") \
+            .groupBy("cid").agg(
+                F.count("*").alias("n"),
+                F.sum("dist2").alias("sse"),
+                *[F.avg(F.col("embedding")[i]).alias(f"c{i}")
+                  for i in range(dim)],
+            ).collect()
+        history.append(float(sum(r.sse for r in stats)))
+        new_c = centroids.copy()  # empty clusters keep previous position
+        for r in stats:
+            new_c[r.cid] = [r[f"c{i}"] for i in range(dim)]
+        centroids = new_c
+    final = embeddings.select("vec_id", "embedding").mapInPandas(
+        assign_factory(centroids.copy()), schema=schema)
+    return final, centroids, history

@@ -1460,6 +1460,24 @@ _shared_sql(
 
 
 @_register(
+    "kmeans_clusters", None,
+    doc="iterative Lloyd's k-means over the embedding corpus (driver-loop "
+        "over aggregate jobs, Arrow-batched argmin assignment) — rows-only "
+        "by construction (iterative algorithm, no single-statement oracle); "
+        "inertia monotonicity + parallelism-determinism pytest-gated",
+)
+def _kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import kmeans_embeddings
+
+    load_views(spark, sf_dir)
+    final, _, _ = kmeans_embeddings(spark.table("embeddings"), k=8, iters=4)
+    return final.groupBy("cid").agg(
+        F.count("*").alias("n"),
+        F.min("vec_id").alias("rep_id"),
+    )
+
+
+@_register(
     "tile_approx_stats", None,
     doc="sketch aggregates per coarse tile: approx_count_distinct (HLL) and "
         "approx percentiles — rows-only (sketches are engine-specific by "

@@ -73,6 +73,31 @@ def test_ann_ivf_recall_and_candidate_bound(spark):
     assert all(len(ns) == 10 for ns in ivf.values())
 
 
+def test_kmeans_inertia_monotone_and_deterministic(spark):
+    from cloudtile_spark.queries import load_views
+    from cloudtile_spark.operators.similarity import kmeans_embeddings
+
+    load_views(spark, SF_DIR)
+    emb = spark.table("embeddings")
+    final, cents, hist = kmeans_embeddings(emb, k=8, iters=4)
+    # Lloyd's theorem: inertia never increases
+    assert all(a >= b - 1e-9 for a, b in zip(hist, hist[1:])), hist
+    rows = final.collect()
+    assert len(rows) == emb.count()
+    assert len({r.cid for r in rows}) <= 8
+    # across partitionings: float aggregation order shifts sums by ulps,
+    # so inertia matches within tolerance and assignments are identical
+    final2, _, hist2 = kmeans_embeddings(emb.repartition(16), k=8, iters=4)
+    assert all(abs(a - b) <= 1e-9 * max(abs(a), 1.0)
+               for a, b in zip(hist, hist2))
+    a = sorted((r.vec_id, r.cid) for r in rows)
+    b = sorted((r.vec_id, r.cid) for r in final2.collect())
+    assert a == b
+    # same partitioning: exactly reproducible
+    _, _, hist3 = kmeans_embeddings(emb, k=8, iters=4)
+    assert hist3 == hist
+
+
 def test_winnow_shared_run_guarantee(spark):
     """Winnowing guarantee: documents sharing a run of >= w+k-1 tokens
     (here 4+3-1=6) share at least one fingerprint; disjoint docs don't."""
