@@ -39,6 +39,12 @@ def _attr(key: str, columns: Iterable[str]) -> Column:
         if "geom_type" not in cols:
             raise ValueError("$type filter needs a geom_type column")
         return F.lower(F.col("geom_type"))
+    if key == "$zoom":
+        # tippecanoe exposes the current zoom to -j filters; valid on the
+        # post-explode frame (postfilter), where z exists
+        if "z" not in cols:
+            raise ValueError("$zoom filter needs a zoom column (postfilter)")
+        return F.col("z")
     if key in cols:
         return F.col(key)
     if "props" in cols:

@@ -320,8 +320,14 @@ def encode_point_tiles(
     # settings-driven feature filtering (tippecanoe feature-filter /
     # feature-filter-file, yaml:47-48): compiled to a Catalyst predicate
     # BEFORE the zoom explode so it pushes toward the scan
-    from .filters import apply_feature_filter
+    from .filters import apply_feature_filter, compile_feature_filter
     features = apply_feature_filter(features, settings, layer)
+    # prefilter (yaml: prefilter): a second filter stage BEFORE the zoom
+    # explode — tippecanoe's pre-tiling shell filter, re-expressed as the
+    # same legacy-filter JSON, so it stays a pushable Catalyst predicate
+    if settings.get("prefilter"):
+        features = features.filter(compile_feature_filter(
+            settings["prefilter"], features.columns, layer))
     # single-precision (yaml:53): coordinates pass through float32 — the
     # storage-halving cast a pipeline applies before wide fan-out
     if settings.get("single-precision"):
@@ -340,6 +346,11 @@ def encode_point_tiles(
     cols = ["feature_id", "lon", "lat"] + (["props"] if has_props else [])
 
     df = assign_xy(explode_zooms(features.select(*cols), minz, maxz))
+    # postfilter (yaml: postfilter): runs on the POST-explode frame, so it
+    # can reference $zoom — per-zoom feature gating without a UDF
+    if settings.get("postfilter"):
+        df = df.filter(compile_feature_filter(
+            settings["postfilter"], df.columns, layer))
     if drop_rate:
         keep = (
             F.when(F.col("z") >= F.lit(int(base_zoom)), F.lit(True))

@@ -111,6 +111,21 @@ def test_encode_point_tiles_honors_filter(spark, feats):
     assert sorted(f["id"] for f in dec["features"]) == [1, 3]
 
 
+def test_prefilter_and_postfilter_with_zoom(spark, feats):
+    from cloudtile_spark.operators import mvt
+
+    s = TilingSettings()
+    s["prefilter"] = ["in", "lang", "en", "fr"]
+    # $zoom gating: features only appear at z >= 2
+    s["postfilter"] = [">=", "$zoom", 2]
+    tiles_df = mvt.encode_point_tiles(feats.drop("geom_type"), 0, 3,
+                                      settings=s)
+    by_z = {r.z: r.n for r in tiles_df.groupBy("z").agg(
+        F.sum("feature_count").alias("n")).collect()}
+    assert set(by_z) == {2, 3}          # z0/z1 filtered by $zoom
+    assert by_z[2] == 3 and by_z[3] == 3  # en+fr features only (ids 1,2,3)
+
+
 def test_filter_pushes_to_scan(spark, feats, tmp_path):
     # the compiled predicate must reach the parquet scan (PushedFilters)
     p = str(tmp_path / "f.parquet")
