@@ -1532,18 +1532,36 @@ def _init_embedding_neardup() -> None:
         SELECT vec_a, vec_b FROM cand WHERE sim >= 0.999
         """
 
-    spark_sql = sql_for("spark")
     duck_sql = sql_for("duck")
+    # Spark: the bucket table (4 hyperplane dot products per vector over
+    # the planted corpus) persists once; the self-join references it twice
+    # and CTE inlining would recompute it per side
+    b_spark = bucket_sql("embedding", "spark", planes=list(range(4)))
+    stage_sql = (f"WITH {corpus('spark')} "
+                 f"SELECT vec_id, embedding, {b_spark} AS bucket FROM corpus")
+    sim_spark = (
+        f"{dot_pair('a.embedding', 'b.embedding', 'spark')} / "
+        f"({norm('a.embedding', 'spark')} * {norm('b.embedding', 'spark')})"
+    )
+    verify_sql = f"""
+        WITH cand AS (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {sim_spark} AS sim
+          FROM emb_t a JOIN emb_t b
+            ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        SELECT vec_a, vec_b FROM cand WHERE sim >= 0.999
+    """
 
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_views(spark, sf_dir)
-        return spark.sql(spark_sql)
+        spark.sql(stage_sql).persist().createOrReplaceTempView("emb_t")
+        return spark.sql(verify_sql)
 
     REGISTRY["dedup_embedding_cosine"] = Query(
         "dedup_embedding_cosine", fn, duck_sql,
         "embedding-cosine near-dup: planted scaled copies recovered via "
         "hyperplane-bucket blocking + exact cosine >= 0.999 verify (scaled "
-        "vectors share all sign buckets, so recall on plants is 1.0)",
+        "vectors share all sign buckets, so recall on plants is 1.0); "
+        "bucket table persisted once on the Spark side",
     )
 
 
