@@ -1664,6 +1664,22 @@ def _raster_zone_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "raster_zonal_stats", None,
+    doc="raster->vector ZONAL STATISTICS: per-zone count/sum/min/max of a "
+        "deterministic synthetic band over rasterized zone masks; per-tile "
+        "partials inside the Arrow batch, tiny per-(tile,zone) shuffle — "
+        "golden-fixture oracle (scanline fill is not SQL-expressible)",
+)
+def _raster_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.raster import rasterize_zones, zonal_stats
+    from .sources.zones import synth_zones
+
+    load_views(spark, sf_dir)  # parity of table-loading behavior
+    return zonal_stats(rasterize_zones(spark, synth_zones(10), z=7, size=64),
+                       size=64)
+
+
+@_register(
     "mvt_tiles", None,
     doc="MVT protobuf tile encode (B14): grouped applyInPandas per (z,x,y), "
         "deterministic bytes — rows-only here; wire-format roundtrip and "

@@ -178,3 +178,32 @@ def test_streaming_incremental_pyramid_equals_batch(spark, tmp_path_factory):
     )
     expect = {(r.z, r.x, r.y): r["count"] for r in batch}
     assert got == expect
+
+
+def test_zonal_stats_numpy_parity(spark):
+    """zonal_stats == a driver-side NumPy replay over the same masks."""
+    import numpy as np
+    from cloudtile_spark.operators.raster import (
+        GRID_SIZE, pixel_value, rasterize_zones, zonal_stats,
+    )
+    from cloudtile_spark.sources.zones import synth_zones
+
+    zones = synth_zones(6)
+    raster = rasterize_zones(spark, zones, z=6, size=GRID_SIZE).cache()
+    got = {r.zone_id: r for r in zonal_stats(raster).collect()}
+
+    want = {}
+    for r in raster.collect():
+        grid = np.frombuffer(bytes(r.grid), dtype=bool).reshape(
+            GRID_SIZE, GRID_SIZE)
+        py, px = np.nonzero(grid)
+        v = pixel_value(r.z, r.x, r.y, px, py)
+        acc = want.setdefault(r.zone_id, [0, 0, 10**9, -1])
+        acc[0] += len(v)
+        acc[1] += int(v.sum())
+        acc[2] = min(acc[2], int(v.min()))
+        acc[3] = max(acc[3], int(v.max()))
+    assert set(got) == set(want)
+    for zid, (n, s, lo, hi) in want.items():
+        g = got[zid]
+        assert (g.n_pixels, g.v_sum, g.v_min, g.v_max) == (n, s, lo, hi)
