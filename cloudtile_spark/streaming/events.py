@@ -115,3 +115,64 @@ def run_to_memory(stream_df: DataFrame, name: str, mode: str = "update"):
     )
     q.awaitTermination()
     return q
+
+
+DOCS_SCHEMA = ("doc_id long, text string, lang string, source string, "
+               "n_chars long")
+
+
+def read_docs_stream(spark: SparkSession, path_dir: str) -> DataFrame:
+    """File-source stream over a directory of documents parquet files."""
+    return spark.readStream.schema(DOCS_SCHEMA).parquet(path_dir)
+
+
+def flag_near_dups_stream(doc_stream: DataFrame,
+                          corpus_index: DataFrame) -> DataFrame:
+    """STREAM-STATIC near-dup flagging: incoming documents are checked
+    against a static MinHash band-key index of the existing corpus — the
+    online admission filter a training pipeline runs on a crawl stream.
+
+    The stream side computes the SAME banded signature SQL as the batch
+    dedup path (JVM codegen per micro-batch); the join is stream-static
+    (no state store, the static side broadcast/hash per micro-batch), so
+    throughput scales with the micro-batch, not history. Output: one row
+    per (incoming doc, band-colliding corpus doc), deduplicated.
+    """
+    from ..operators import dedup as dd
+
+    d = dd.SPARK
+    sigc = d.minhash_sig_cols("hashes")
+    bands = d.band_keys(sigc)
+    with_keys = doc_stream.selectExpr(
+        "doc_id",
+        f"{d.shingle_hashes('text', 3)} AS hashes",
+    ).selectExpr(
+        "doc_id",
+        *[f"{b} AS bk{i}" for i, b in enumerate(bands)],
+    )
+    melted = with_keys.selectExpr(
+        "doc_id",
+        "stack(4, 0, bk0, 1, bk1, 2, bk2, 3, bk3) AS (band, key)",
+    )
+    hits = melted.join(
+        corpus_index,
+        (melted.band == corpus_index.c_band)
+        & (melted.key == corpus_index.c_key)
+        & (melted.doc_id != corpus_index.corpus_doc_id),
+    )
+    return hits.select("doc_id", "corpus_doc_id").dropDuplicates(
+        ["doc_id", "corpus_doc_id"])
+
+
+def corpus_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static band-key index over the documents table (the 'already
+    admitted' corpus)."""
+    from ..operators import dedup as dd
+
+    d = dd.SPARK
+    spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .createOrReplaceTempView("documents")
+    corpus = "corpus AS (SELECT doc_id, text FROM documents)"
+    sql = dd.minhash_band_rows_sql(d, corpus)
+    return spark.sql(sql).selectExpr(
+        "doc_id AS corpus_doc_id", "band AS c_band", "key AS c_key")

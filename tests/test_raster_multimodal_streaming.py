@@ -207,3 +207,38 @@ def test_zonal_stats_numpy_parity(spark):
     for zid, (n, s, lo, hi) in want.items():
         g = got[zid]
         assert (g.n_pixels, g.v_sum, g.v_min, g.v_max) == (n, s, lo, hi)
+
+
+def test_stream_static_near_dup_flagging(spark, tmp_path_factory):
+    """A crawl stream of planted near-duplicate variants is flagged against
+    the static corpus band index (stream-static join), matching the batch
+    band-collision computation exactly."""
+    from cloudtile_spark.streaming.events import (
+        corpus_band_index, flag_near_dups_stream, read_docs_stream,
+        run_to_memory,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    idx = corpus_band_index(spark, sf).cache()
+    # stream side: every 3rd doc re-emitted with trailing boilerplate
+    # (the planted-corpus variants, id + 1e6)
+    variants = spark.sql(
+        "SELECT doc_id + 1000000 AS doc_id, text || ' extra trailing' AS "
+        "text, lang, source, n_chars FROM documents WHERE doc_id % 3 = 0")
+    d = tmp_path_factory.mktemp("docs_stream")
+    variants.write.parquet(str(d / "batch1"))
+    stream = read_docs_stream(spark, str(d / "batch1"))
+    flagged = flag_near_dups_stream(stream, idx)
+    run_to_memory(flagged, "near_dups", mode="append")
+    got = {(r.doc_id, r.corpus_doc_id)
+           for r in spark.table("near_dups").collect()}
+    # batch twin: the same function runs identically on a batch frame
+    # (stream-static join has no state store)
+    want = {(r.doc_id, r.corpus_doc_id)
+            for r in flag_near_dups_stream(variants, idx).collect()}
+    assert got == want and got
+    # every variant must collide with its own source document
+    sources = {(v + 1000000, v) for (v,) in
+               spark.sql("SELECT doc_id FROM documents WHERE doc_id % 3 = 0")
+               .collect()}
+    assert sources <= got
