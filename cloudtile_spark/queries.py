@@ -1398,6 +1398,47 @@ GROUP BY n.n_name
 _shared_sql("tpch_q5", _TPCH_Q5_BODY,
             doc="5-way star join (dims broadcast; Catalyst join reorder)")
 
+# Q6: pure filter + aggregate — the fully-pushable scan shape. Money in
+# integer cents; discount band as exact cents bounds (no double compare).
+_shared_sql(
+    "tpch_q6",
+    f"""
+    SELECT cast(sum({_CENTS_PRICE} * {_CENTS_DISC}) as bigint)
+             AS revenue_c10000,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+      AND {_CENTS_DISC} BETWEEN 4 AND 8
+      AND l_quantity < 24.0
+    """,
+    doc="TPC-H Q6 shape: filter-heavy single-pass aggregate; every "
+        "predicate pushes to the parquet scan",
+)
+
+# Q10: fact-dim join + group + order + limit (top returned-revenue
+# customers)
+_shared_sql(
+    "tpch_q10",
+    f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           {_REVENUE_CENTS.replace('l_extendedprice', 'l.l_extendedprice')
+                          .replace('l_discount', 'l.l_discount')}
+             AS revenue_c100,
+           count(*) AS n_items
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus = 'F' AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue_c100 DESC, c.c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: fact-dim joins + agg + global top-20 "
+        "(TakeOrderedAndProject, not a full sort)",
+)
+
 
 _shared_sql(
     "cluster_distance_snap",
