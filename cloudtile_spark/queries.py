@@ -282,6 +282,62 @@ _shared_sql(
         "tippecanoe.yaml:34-48): plain Catalyst filter/prune, pushed to scan",
 )
 
+# Geometry tile-cover fan-out parity: the mapInPandas cover (WKB bbox ->
+# covered tiles per zoom) must agree with the closed-form tile count
+# derivable from the same corner math in pure SQL — this oracle-checks the
+# geometry path's explode, which was previously pytest-only.
+_ZONE_CORNERS = (
+    "zc AS (SELECT doc_id AS zone_id, "
+    " greatest(lon - 3.0, -179.9) AS lon_lo,"
+    " least(lon + 3.0, 179.9) AS lon_hi,"
+    " greatest(lat - 2.0, -84.0) AS lat_lo,"
+    " least(lat + 2.0, 84.0) AS lat_hi "
+    "FROM geo WHERE doc_id % 50 = 0)"
+)
+
+
+@_register(
+    "tile_cover_counts",
+    f"""
+    WITH {_GEO_CTE},
+    {_ZONE_CORNERS},
+    zz AS (SELECT zone_id, lon_lo, lon_hi, lat_lo, lat_hi, z
+           FROM zc CROSS JOIN (VALUES (4), (5), (6)) AS v(z))
+    SELECT zone_id, z,
+           cast(({tiles.tile_x_sql('lon_hi', 'z')}
+                 - {tiles.tile_x_sql('lon_lo', 'z')} + 1)
+              * ({tiles.tile_y_sql('lat_lo', 'z')}
+                 - {tiles.tile_y_sql('lat_hi', 'z')} + 1) as bigint)
+             AS n_tiles
+    FROM zz
+    """,
+    doc="geometry tile-cover fan-out parity (B4/B5): mapInPandas WKB bbox "
+        "cover == closed-form corner tile count in pure SQL",
+)
+def _tile_cover_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from .operators.mvt import tile_cover
+
+    load_views(spark, sf_dir)
+    corners = spark.sql(
+        f"WITH {_GEO_CTE}, {_ZONE_CORNERS} SELECT * FROM zc").collect()
+    rows = []
+    for r in corners:
+        ring = np.array([
+            [r.lon_lo, r.lat_lo], [r.lon_hi, r.lat_lo],
+            [r.lon_hi, r.lat_hi], [r.lon_lo, r.lat_hi],
+            [r.lon_lo, r.lat_lo],
+        ])
+        rows.append((int(r.zone_id), "polygon",
+                     bytearray(geom.wkb_polygon(ring))))
+    zones = spark.createDataFrame(
+        rows, "feature_id long, geom_type string, geom_wkb binary")
+    return tile_cover(zones, 4, 6).groupBy(
+        F.col("feature_id").alias("zone_id"), "z"
+    ).agg(F.count("*").alias("n_tiles"))
+
+
 # settings-driven feature-filter expression language (tippecanoe
 # feature-filter, yaml:47-48; Mapbox GL legacy filter JSON). The Spark side
 # is driven PURELY by a settings dict through the operators/filters.py
