@@ -162,10 +162,12 @@ def main(argv: Optional[list[str]] = None) -> int:
     spark = active or get_spark("cloudtile_spark_cli", cores=args.cores)
     def _read_src(src: str):
         # table:<name> reads a catalog table (Iceberg/Hive/temp view at
-        # deploy time) via spark.read.table; anything else is a path
+        # deploy time) via spark.read.table; file paths go through the
+        # suffix-dispatch reader factory (parquet/geojson/gpkg/csv)
         if src.startswith("table:"):
             return spark.read.table(src[len("table:"):])
-        return spark.read.parquet(src)
+        from .sources.readers import load_features
+        return load_features(spark, src)
 
     def _stem(src: str) -> str:
         return src.split(":", 1)[1].split(".")[-1] \

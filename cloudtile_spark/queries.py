@@ -1777,6 +1777,37 @@ def _raster_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "geom_mvt_tiles", None,
+    doc="geometry MVT path end-to-end (B5/B11/B12): rect polygon zones -> "
+        "tile cover -> per-tile clip/simplify/winding encode; byte-level "
+        "deterministic — golden-fixture oracle (clipping is not "
+        "SQL-expressible)",
+)
+def _geom_mvt_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from .operators.mvt import encode_geom_tiles
+
+    load_views(spark, sf_dir)
+    corners = spark.sql(
+        f"WITH {_GEO_CTE}, {_ZONE_CORNERS} SELECT * FROM zc").collect()
+    rows = []
+    for r in corners:
+        ring = np.array([
+            [r.lon_lo, r.lat_lo], [r.lon_hi, r.lat_lo],
+            [r.lon_hi, r.lat_hi], [r.lon_lo, r.lat_hi],
+            [r.lon_lo, r.lat_lo],
+        ])
+        rows.append((int(r.zone_id), "polygon",
+                     bytearray(geom.wkb_polygon(ring))))
+    zones = spark.createDataFrame(
+        rows, "feature_id long, geom_type string, geom_wkb binary")
+    t = encode_geom_tiles(zones, 2, 4)
+    return t.select("z", "x", "y", "feature_count",
+                    F.length("mvt").alias("n_bytes"))
+
+
+@_register(
     "mvt_tiles", None,
     doc="MVT protobuf tile encode (B14): grouped applyInPandas per (z,x,y), "
         "deterministic bytes — rows-only here; wire-format roundtrip and "

@@ -102,6 +102,23 @@ def test_cli_catalog_table_source(tmp_path, spark, monkeypatch):
     assert load_features(spark, "table:feats_tbl").count() == 1
 
 
+def test_cli_csv_source_dispatch(tmp_path, spark, monkeypatch):
+    """convert features2tiles accepts a CSV feature source via the
+    suffix-dispatch reader factory."""
+    monkeypatch.chdir(tmp_path)
+    p = tmp_path / "pts.csv"
+    p.write_text("feature_id,lon,lat,name\n" + "\n".join(
+        f"{i},{(i % 36) * 10 - 175}.5,{(i % 16) * 10 - 75}.5,n{i}"
+        for i in range(40)))
+    out = str(tmp_path / "pts-0-2")
+    rc = main(["convert", "features2tiles", str(p), "0", "2",
+               "--cores", "2", "--out", out])
+    assert rc == 0
+    total = (spark.read.parquet(out)
+             .where("z = 0").agg({"feature_count": "sum"}).collect()[0][0])
+    assert total == 40
+
+
 def test_pmtiles_roundtrip_and_dedup():
     rows = []
     blob_a = mvt.encode_layer("l", [mvt.encode_feature(1, 1, [np.array([[5, 5]])], [])], [], [])

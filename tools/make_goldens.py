@@ -21,7 +21,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 GOLDEN_QUERIES = ["pages_extract", "mvt_tiles", "raster_zone_fill",
-                  "raster_zonal_stats"]
+                  "raster_zonal_stats", "geom_mvt_tiles"]
 
 HEADER = '''"""AUTO-GENERATED golden-fixture oracles (tools/make_goldens.py).
 
