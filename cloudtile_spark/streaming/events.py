@@ -176,3 +176,30 @@ def corpus_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql = dd.minhash_band_rows_sql(d, corpus)
     return spark.sql(sql).selectExpr(
         "doc_id AS corpus_doc_id", "band AS c_band", "key AS c_key")
+
+
+def follow_up_pairs(stream: DataFrame, gap_minutes: int = 10) -> DataFrame:
+    """STREAM-STREAM self-join: pairs of events by the same user where the
+    second follows the first within ``gap_minutes`` — the funnel/attribution
+    shape. Both sides carry watermarks and the join condition is
+    time-bounded, so Spark can expire state (the unbounded-state trap of
+    stream-stream joins is exactly what the bound avoids).
+    """
+    from pyspark.sql import functions as F
+
+    a = stream.withWatermark("ts", f"{gap_minutes} minutes") \
+              .select(F.col("user_id").alias("a_user"),
+                      F.col("event_id").alias("a_event"),
+                      F.col("ts").alias("a_ts"))
+    b = stream.withWatermark("ts", f"{gap_minutes} minutes") \
+              .select(F.col("user_id").alias("b_user"),
+                      F.col("event_id").alias("b_event"),
+                      F.col("ts").alias("b_ts"))
+    return a.join(
+        b,
+        F.expr(f"""
+            a_user = b_user AND b_ts > a_ts
+            AND b_ts <= a_ts + interval {gap_minutes} minutes
+            AND a_event < b_event
+        """),
+    ).select("a_user", "a_event", "b_event")

@@ -242,3 +242,31 @@ def test_stream_static_near_dup_flagging(spark, tmp_path_factory):
                spark.sql("SELECT doc_id FROM documents WHERE doc_id % 3 = 0")
                .collect()}
     assert sources <= got
+
+
+def test_stream_stream_followup_join_equals_batch(spark, events_stream_dir):
+    """Watermarked stream-stream self-join == the batch self-join on the
+    same data (time-bounded condition keeps state finite)."""
+    from pyspark.sql import functions as F
+    from cloudtile_spark.streaming.events import (
+        follow_up_pairs, read_events_stream, run_to_memory,
+    )
+
+    stream = read_events_stream(spark, events_stream_dir)
+    run_to_memory(follow_up_pairs(stream, gap_minutes=10), "followups",
+                  mode="append")
+    got = {(r.a_user, r.a_event, r.b_event)
+           for r in spark.table("followups").collect()}
+
+    batch = spark.read.parquet(events_stream_dir)
+    a = batch.select(F.col("user_id").alias("a_user"),
+                     F.col("event_id").alias("a_event"),
+                     F.col("ts").alias("a_ts"))
+    b = batch.select(F.col("user_id").alias("b_user"),
+                     F.col("event_id").alias("b_event"),
+                     F.col("ts").alias("b_ts"))
+    want = {(r.a_user, r.a_event, r.b_event) for r in a.join(
+        b, F.expr("a_user = b_user AND b_ts > a_ts "
+                  "AND b_ts <= a_ts + interval 10 minutes "
+                  "AND a_event < b_event")).collect()}
+    assert got == want and got
