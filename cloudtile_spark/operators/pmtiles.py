@@ -162,9 +162,11 @@ def tilestats(features_df, settings=None, layer: str = "features") -> dict:
             .limit(attr_limit)
             .collect()
         )
+        descs = settings.get("attribute-description") or {}
         attributes = [
             {"attribute": r.k, "count": r.n, "type": "string",
-             "values": list(r.vals)}
+             "values": list(r.vals),
+             **({"description": descs[r.k]} if r.k in descs else {})}
             for r in rows
         ]
     return {

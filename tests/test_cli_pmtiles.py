@@ -216,6 +216,22 @@ def test_tilestats_metadata_in_archive(tmp_path, spark, monkeypatch):
     assert arch2["metadata"]["tilestats"] == {}
 
 
+def test_tilestats_attribute_description(spark):
+    from cloudtile_spark.operators.extract import extract_features
+    from cloudtile_spark.operators.pmtiles import tilestats
+    from cloudtile_spark.settings import TilingSettings
+    from cloudtile_spark.sources.pages import synth_pages
+
+    feats = extract_features(synth_pages(spark, 100, partitions=2)
+                             .drop("page_id"))
+    s = TilingSettings()
+    s["attribute-description"] = {"lang": "ISO language code"}
+    ts = tilestats(feats, s)
+    attrs = {a["attribute"]: a for a in ts["layers"][0]["attributes"]}
+    assert attrs["lang"]["description"] == "ISO language code"
+    assert "description" not in attrs["city"]
+
+
 def test_order_by_option(spark):
     from cloudtile_spark.operators.extract import extract_features
     from cloudtile_spark.operators.mvt import decode_tile, encode_point_tiles
