@@ -69,6 +69,25 @@ def main() -> None:
             f"mean shared subtrees execute once)\n"
         )
 
+    # staged self-join pipelines: the expensive signature/bucket stage is
+    # persisted once — the executed plan must read the source table a
+    # CONSTANT number of times (CTE inlining used to re-scan per reference:
+    # 20 scans for minhash/ann_lsh before staging)
+    for name in ("dedup_minhash_lsh", "dedup_simhash",
+                 "dedup_ngram_jaccard", "ann_lsh_topk",
+                 "dedup_embedding_cosine"):
+        df = REGISTRY[name].spark_fn(spark, sf)
+        s = df._jdf.queryExecution().executedPlan().toString()
+        scans = s.count("FileScan") + s.count("Scan parquet")
+        mem = s.count("InMemory")
+        out.append(
+            f"## {name} (staged)\n\n"
+            f"- in-memory (persisted-stage) reads: **{mem}**; parquet scans "
+            f"in the plan TEXT: {scans} (the cached relation's build plan "
+            f"is printed inline — it executes once, on first materialize, "
+            f"not per self-join reference)\n"
+        )
+
     # bucketing: two tables bucketed on the cell key join WITHOUT a shuffle
     # (the co-located-join strategy for repeated tile/cell joins at 100 TB)
     from cloudtile_spark import cells
