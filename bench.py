@@ -119,17 +119,23 @@ def bench_pip_poly(spark, cores):
 
 
 def bench_knn(spark, cores):
+    from cloudtile_spark import caching
     from cloudtile_spark.operators.joins import knn_join_adaptive
 
     # cache: the kNN plan scans the point side three times (multi-res
-    # counts, candidates join, fallback); at bench scale it fits in memory
-    feats = spark.read.parquet(FEATURES_DIR + "_knn").cache()
+    # counts, candidates join, fallback); at bench scale it fits in memory.
+    # Staged (not bare .cache()) so the finally-release frees it — round-2's
+    # leaked copy skewed every leg that ran after this one.
+    feats = caching.stage(spark.read.parquet(FEATURES_DIR + "_knn"))
     feats.count()
     q = feats.filter(F.col("feature_id") % (KNN_N // 512) == 0).select(
         F.col("feature_id").alias("query_id"),
         F.col("lon").alias("qlon"), F.col("lat").alias("qlat"),
     )
-    return knn_join_adaptive(feats, q, k=5).count()
+    try:
+        return knn_join_adaptive(feats, q, k=5).count()
+    finally:
+        caching.release_staged()
 
 
 def main() -> None:
@@ -169,10 +175,13 @@ def main() -> None:
     times["gen_extract_1m_pages"] = round(t, 3)
     throughput["gen_extract_pages_per_sec"] = round((PAGES_N // 2) / t, 1)
 
+    from cloudtile_spark import caching
     for name in REGISTRY_QUERIES:
         q = REGISTRY[name]
         t, _ = timed(lambda: q.spark_fn(spark, sf_dir).count())
         times[name] = round(t, 3)
+    # the last query's staged caches (Query wrapper releases on ENTRY only)
+    caching.release_staged()
 
     spark.stop()
     print(json.dumps({

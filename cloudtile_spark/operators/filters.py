@@ -52,15 +52,19 @@ def _attr(key: str, columns: Iterable[str]) -> Column:
     raise ValueError(f"feature-filter references unknown attribute {key!r}")
 
 
-def _typed(attr: Column, value: Any) -> tuple[Column, Column]:
+def _typed(attr: Column, value: Any, key: str = "") -> tuple[Column, Column]:
     """Coerce the attribute to the literal's type: numeric literals compare
-    numerically even though props map values are strings."""
+    numerically even though props map values are strings. Geometry-type
+    literals are case-folded ONLY for the ``$type`` pseudo-key (the engine
+    stores geom_type lowercase); an ordinary attribute whose value happens
+    to be "Point" must compare verbatim."""
     if isinstance(value, bool):
         return attr.cast("boolean"), F.lit(value)
     if isinstance(value, (int, float)):
         return attr.cast("double"), F.lit(float(value))
-    return attr, F.lit(str(value).lower() if value in (
-        "Point", "LineString", "Polygon") else value)
+    if key == "$type":
+        return attr, F.lit(str(value).lower())
+    return attr, F.lit(value)
 
 
 def compile_feature_filter(
@@ -98,7 +102,7 @@ def _compile(expr: Any, columns: list[str]) -> Column:
         return acc
     if op in _COMPARISONS:
         key, value = args
-        attr, lit = _typed(_attr(key, columns), value)
+        attr, lit = _typed(_attr(key, columns), value, key)
         if op == "==":
             return attr == lit
         if op == "!=":
@@ -118,6 +122,8 @@ def _compile(expr: Any, columns: list[str]) -> Column:
                 and not isinstance(values[0], bool):
             attr = attr.cast("double")
             values = [float(v) for v in values]
+        elif key == "$type":
+            values = [str(v).lower() for v in values]
         hit = attr.isin(values)
         if op == "in":
             return hit

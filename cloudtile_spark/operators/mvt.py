@@ -551,6 +551,13 @@ def encode_geom_tile_batch(
     # geometry types at below-max zooms, like the drop-rate family
     drop_lines = bool(settings.get("drop-lines")) and below_max
     drop_polys = bool(settings.get("drop-polygons")) and below_max
+    # tippecanoe drops BEFORE capping: filter dropped geometry types out
+    # first so the cap keeps up to `cap` SURVIVING features (an over-cap
+    # tile must not come out under-filled because dropped rows ate slots)
+    if drop_lines or drop_polys:
+        feats = [f for f in feats
+                 if not ((drop_lines and GEOM_TYPE_CODE[f[1]] == 2)
+                         or (drop_polys and GEOM_TYPE_CODE[f[1]] == 3))]
     full_detail = int(settings.get("full-detail") or 12)
     min_detail = int(settings.get("minimum-detail") or 7)
     low_detail = max(int(settings.get("low-detail") or full_detail),
@@ -576,7 +583,11 @@ def encode_geom_tile_batch(
     else:
         _simplify = geom.douglas_peucker
     buffer_px = settings.get("buffer") or 5
-    no_clip = bool(settings.get("no-clipping"))
+    # no-duplication writes the UNCLIPPED feature in its single emitting
+    # tile (tippecanoe semantics: renderers reconstruct the full geometry
+    # from the one copy), so it implies the no-clipping encode path
+    no_clip = bool(settings.get("no-clipping")) \
+        or bool(settings.get("no-duplication"))
     tiny = settings.get("tiny-polygon-size") or 9  # spec default ~3x3 px
     if settings.get("no-tiny-polygon-reduction"):
         tiny = 0
@@ -612,8 +623,6 @@ def encode_geom_tile_batch(
         ordered = sorted(feats)[:cap]
     for fid, gtype_s, wkb in ordered:
         gcode = GEOM_TYPE_CODE[gtype_s]
-        if (drop_lines and gcode == 2) or (drop_polys and gcode == 3):
-            continue
         _, coords = geom.wkb_parse(wkb)
         px, py = tiles.tile_local_coords(coords[:, 0], coords[:, 1], z, x, y,
                                          extent=extent)

@@ -192,7 +192,9 @@ def write_pmtiles_stream(
     (tile_id, mvt_bytes) without materializing tile payloads in memory.
 
     Data section spills to ``path + ".data"`` while streaming; driver
-    memory holds the directory entries plus an md5->offset dedup map.
+    memory holds the directory entries plus a sha256->offset dedup map
+    (collision-resistant: md5 collisions are practically constructible and
+    would silently serve the wrong tile bytes on offset reuse).
     Consecutive tids with identical payloads coalesce into one run-length
     entry; non-adjacent identical payloads share bytes via offset reuse.
     Directories: single root when entries <= MAX_ROOT_ENTRIES, else leaf
@@ -215,7 +217,7 @@ def write_pmtiles_stream(
                     f"tile stream not strictly tid-ascending at {tid}")
             last_tid = tid
             n_addressed += 1
-            digest = hashlib.md5(blob).digest()
+            digest = hashlib.sha256(blob).digest()
             hit = seen.get(digest)
             if hit is None:
                 off, ln = data_len, len(blob)

@@ -33,10 +33,30 @@ from typing import Optional
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .. import tiles
+from .. import caching, tiles
 from ..settings import TilingSettings
 
-DEFAULT_SALT_BUCKETS = 32
+DEFAULT_SALT_BUCKETS = 32  # floor; see salt_buckets_for
+
+
+def salt_buckets_for(df: DataFrame, salt_buckets: Optional[int] = None) -> int:
+    """Salt-bucket count scaled to the session's parallelism.
+
+    A constant 32 funnels a z0 hot tile through 32 reducers no matter the
+    cluster: at 1000 executors that's a 32-wide bottleneck. Derive from
+    ``defaultParallelism`` (2x, so stragglers interleave), floored at
+    DEFAULT_SALT_BUCKETS and capped at 4096 (phase 2 merges salt*cap
+    structs per tile — the cap bounds that merge). The two-phase top-cap
+    is salt-count-invariant (tests pin salt=8 == salt=256 output), so this
+    only moves the parallelism/merge-width trade-off, never results.
+    """
+    if salt_buckets is not None:
+        return salt_buckets
+    try:
+        par = df.sparkSession.sparkContext.defaultParallelism
+    except Exception:  # session-less frame in tests
+        par = DEFAULT_SALT_BUCKETS
+    return max(DEFAULT_SALT_BUCKETS, min(4096, 2 * int(par)))
 
 
 def assign_xy(df: DataFrame, z_expr: str = "z",
@@ -63,7 +83,7 @@ def topk_per_tile(
     df: DataFrame,
     cap: int,
     order_col: str = "feature_id",
-    salt_buckets: int = DEFAULT_SALT_BUCKETS,
+    salt_buckets: Optional[int] = None,
 ) -> DataFrame:
     """Keep the first ``cap`` features per (z, x, y), ordered by ``order_col``
     (tippecanoe maximum-tile-features, reference tippecanoe.yaml:107).
@@ -71,7 +91,7 @@ def topk_per_tile(
     Two-phase salted top-k (see module docstring). Exact and deterministic
     because ``order_col`` is unique per tile.
     """
-    salt = (F.col(order_col) % salt_buckets).cast("int")
+    salt = (F.col(order_col) % salt_buckets_for(df, salt_buckets)).cast("int")
     w1 = Window.partitionBy("z", "x", "y", "_salt").orderBy(order_col)
     w2 = Window.partitionBy("z", "x", "y").orderBy(order_col)
     return (
@@ -111,7 +131,7 @@ def capped_tile_summary(
     df: DataFrame,
     cap: int,
     with_ids: bool = True,
-    salt_buckets: int = DEFAULT_SALT_BUCKETS,
+    salt_buckets: Optional[int] = None,
 ) -> DataFrame:
     """Aggregation-only equivalent of topk_per_tile + tile_summary.
 
@@ -145,7 +165,8 @@ def capped_tile_summary(
                  .alias("feature_count"),
             )
         )
-    salt = (F.col("feature_id") % salt_buckets).cast("int")
+    salt = (F.col("feature_id")
+            % salt_buckets_for(df, salt_buckets)).cast("int")
     part = (
         df.groupBy("z", "x", "y", salt.alias("_salt"))
         .agg(
@@ -261,7 +282,8 @@ def density_capped_summary(
     dens = fine.groupBy("fx", "fy").agg(F.count("*").alias("density"))
     with_d = fine.join(dens, ["fx", "fy"]).drop("fx", "fy")
     df = assign_xy(with_d.withColumn("z", F.lit(z)))
-    salt = (F.col("feature_id") % DEFAULT_SALT_BUCKETS).cast("int")
+    salt = (F.col("feature_id")
+            % salt_buckets_for(df)).cast("int")
     part = (
         df.groupBy("z", "x", "y", salt.alias("_salt"))
         .agg(
@@ -320,14 +342,15 @@ def coalesce_densest_summary(
     dens = fine.groupBy("fx", "fy").agg(F.count("*").alias("density"))
     # persist: the feature+density table is consumed twice (keep-set agg,
     # merge join) — without it the density join recomputes per consumer
-    df = assign_xy(
-        fine.join(dens, ["fx", "fy"]).withColumn("z", F.lit(z))).persist()
+    df = caching.stage(assign_xy(
+        fine.join(dens, ["fx", "fy"]).withColumn("z", F.lit(z))))
 
     # salted exact top-cap membership by (density, feature_id); kept
     # members carry their fine cell so EVERY survivor table below derives
     # from this one tiny frame (<= 1 row per tile, <= cap structs each) —
     # never from a second pass over the feature table
-    salt = (F.col("feature_id") % DEFAULT_SALT_BUCKETS).cast("int")
+    salt = (F.col("feature_id")
+            % salt_buckets_for(df)).cast("int")
     part = (
         df.groupBy("z", "x", "y", salt.alias("_salt"))
         .agg(F.slice(
@@ -339,8 +362,8 @@ def coalesce_densest_summary(
         part.groupBy("z", "x", "y")
         .agg(F.slice(F.array_sort(F.flatten(F.collect_list("_top"))), 1, cap)
              .alias("_kept"))
-        .persist()
     )
+    merged = caching.stage(merged)
     kept_ids = merged.select(
         "z", "x", "y",
         F.explode(F.expr("transform(_kept, s -> s.feature_id)"))

@@ -30,7 +30,7 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import cells, geom, tiles
+from . import caching, cells, geom, tiles
 from .sources.pages import lat_sql, lon_sql
 
 TABLES = [
@@ -66,6 +66,23 @@ class Query:
     spark_fn: Callable[[SparkSession, str], DataFrame]
     oracle: Optional[str]  # DuckDB SQL or None (rows-only check)
     doc: str = ""
+
+    def __post_init__(self):
+        # persist lifecycle (caching.py): release the PREVIOUS query's
+        # staged caches on entry, so back-to-back registry runs (driver
+        # gate, bench) don't accumulate cached relations in executor
+        # memory; this query's own staged frames live until the next one
+        # starts — long enough for the caller to materialize the result.
+        inner = self.spark_fn
+
+        def wrapped(spark: SparkSession, sf_dir: str,
+                    _fn=inner) -> DataFrame:
+            caching.release_staged()
+            return _fn(spark, sf_dir)
+
+        wrapped.__name__ = getattr(inner, "__name__", self.name)
+        wrapped.__wrapped__ = inner
+        self.spark_fn = wrapped
 
 
 REGISTRY: dict[str, Query] = {}
@@ -897,8 +914,8 @@ def _init_dedup_queries() -> None:
             dd.minhash_band_rows_sql(dd.SPARK, dd.PLANTED_CORPUS_CTE))
         shs = spark.sql(
             dd.minhash_shingles_sql(dd.SPARK, dd.PLANTED_CORPUS_CTE))
-        b.persist().createOrReplaceTempView("lsh_b")
-        shs.persist().createOrReplaceTempView("lsh_shs")
+        caching.stage(b, "lsh_b")
+        caching.stage(shs, "lsh_shs")
         return spark.sql(
             dd.minhash_verify_sql(dd.SPARK, "lsh_b", "lsh_shs"))
 
@@ -913,8 +930,10 @@ def _init_dedup_queries() -> None:
     # once on the Spark side; oracle keeps the single statement
     def simhash_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_views(spark, sf_dir)
-        spark.sql(dd.simhash_band_rows_sql(dd.SPARK, dd.PLANTED_CORPUS_CTE)) \
-            .persist().createOrReplaceTempView("sim_b")
+        caching.stage(
+            spark.sql(dd.simhash_band_rows_sql(dd.SPARK,
+                                               dd.PLANTED_CORPUS_CTE)),
+            "sim_b")
         return spark.sql(dd.simhash_verify_sql(dd.SPARK, "sim_b"))
 
     REGISTRY["dedup_simhash"] = Query(
@@ -927,10 +946,13 @@ def _init_dedup_queries() -> None:
 
     def ngram_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_views(spark, sf_dir)
-        spark.sql(dd.ngram_shingles_sql(dd.SPARK, dd.PLANTED_CORPUS_CTE)) \
-            .persist().createOrReplaceTempView("ng_shs")
-        spark.sql("SELECT doc_id, explode(sh) AS s FROM ng_shs") \
-            .persist().createOrReplaceTempView("ng_inv")
+        caching.stage(
+            spark.sql(dd.ngram_shingles_sql(dd.SPARK,
+                                            dd.PLANTED_CORPUS_CTE)),
+            "ng_shs")
+        caching.stage(
+            spark.sql("SELECT doc_id, explode(sh) AS s FROM ng_shs"),
+            "ng_inv")
         return spark.sql(dd.ngram_verify_sql(dd.SPARK, "ng_shs", "ng_inv"))
 
     REGISTRY["dedup_ngram_jaccard"] = Query(
@@ -1149,7 +1171,7 @@ def _init_ann_lsh() -> None:
 
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_views(spark, sf_dir)
-        spark.sql(stage_sql).persist().createOrReplaceTempView("lsh_t")
+        caching.stage(spark.sql(stage_sql), "lsh_t")
         return spark.sql(body_sql)
 
     REGISTRY["ann_lsh_topk"] = Query(
@@ -1650,7 +1672,7 @@ def _init_embedding_neardup() -> None:
 
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_views(spark, sf_dir)
-        spark.sql(stage_sql).persist().createOrReplaceTempView("emb_t")
+        caching.stage(spark.sql(stage_sql), "emb_t")
         return spark.sql(verify_sql)
 
     REGISTRY["dedup_embedding_cosine"] = Query(

@@ -134,3 +134,29 @@ def test_filter_pushes_to_scan(spark, feats, tmp_path):
     c = compile_feature_filter([">", "lon", 15], df.columns)
     plan = df.filter(c)._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "GreaterThan(lon" in plan
+
+
+def test_geometry_type_literal_only_folds_for_dollar_type(spark):
+    # regression (round-2 ADVICE): an ORDINARY attribute whose value happens
+    # to be "Point" must compare verbatim — _typed used to lowercase the
+    # literal for every key, so ["==","name","Point"] compiled to
+    # name == 'point' and matched nothing / the wrong rows.
+    rows = [
+        (1, "point", {"name": "Point"}),       # verbatim "Point"
+        (2, "point", {"name": "point"}),       # lowercase value
+        (3, "linestring", {"name": "Point"}),
+    ]
+    df = spark.createDataFrame(
+        rows, "feature_id long, geom_type string, props map<string,string>")
+    c = compile_feature_filter(["==", "name", "Point"], df.columns)
+    assert _ids(df.filter(c)) == [1, 3]
+    c = compile_feature_filter(["==", "name", "point"], df.columns)
+    assert _ids(df.filter(c)) == [2]
+    # $type still case-folds (engine stores geom_type lowercase)
+    c = compile_feature_filter(["==", "$type", "Point"], df.columns)
+    assert _ids(df.filter(c)) == [1, 2]
+    # and the in/!in path folds $type values too
+    c = compile_feature_filter(["in", "$type", "Point", "Polygon"], df.columns)
+    assert _ids(df.filter(c)) == [1, 2]
+    c = compile_feature_filter(["in", "name", "Point"], df.columns)
+    assert _ids(df.filter(c)) == [1, 3]

@@ -502,3 +502,37 @@ def test_full_detail_extent_option(spark):
     for f in dec["features"]:
         px, py = f["geometry"][0][0]
         assert 0 <= px <= 512 and 0 <= py <= 512
+
+
+def test_drop_types_filtered_before_cap():
+    # regression (round-2 ADVICE): dropped geometry types must be filtered
+    # OUT before the cap slice — with cap=1 and drop-lines, the line used to
+    # eat the single cap slot and then get dropped, emitting an EMPTY tile
+    # even though an undropped point was available.
+    line = geom.wkb_linestring(np.array([[-45.0, 0.0], [45.0, 0.0]]))
+    pt = geom.wkb_point(10.0, 10.0)
+    feats = [(1, "linestring", line), (2, "point", pt)]  # line sorts first
+    s = TilingSettings()
+    s["drop-lines"] = True
+    s["maximum-tile-features"] = 1
+    blob, n = mvt.encode_geom_tile_batch(0, 0, 0, feats, s, maxz=4)
+    assert n == 1 and mvt.decode_tile(blob)["features"][0]["id"] == 2
+
+
+def test_no_duplication_writes_unclipped_geometry(spark):
+    # regression (round-2 ADVICE): no-duplication emits the feature in ONE
+    # tile but must write it UNCLIPPED (tippecanoe semantics — renderers
+    # reconstruct the full geometry from the single copy). The line spans
+    # far east of z1 tile (0,y): its encoded x must exceed extent+buffer.
+    line = geom.wkb_linestring(np.array([[-120.0, 10.0], [120.0, 10.0]]))
+    df = spark.createDataFrame(
+        [(7, "linestring", bytearray(line))],
+        "feature_id long, geom_type string, geom_wkb binary")
+    s = TilingSettings()
+    s["no-duplication"] = True
+    tiles_out = mvt.encode_geom_tiles(df, 1, 1, s).collect()
+    assert len(tiles_out) == 1 and tiles_out[0].x == 0
+    decoded = mvt.decode_tile(bytes(tiles_out[0].mvt))
+    xs = [p[0] for part in decoded["features"][0]["geometry"] for p in part]
+    extent = decoded.get("extent", 4096)
+    assert max(xs) > extent + 5  # geometry extends beyond the tile+buffer

@@ -117,6 +117,30 @@ def test_topk_salted_equals_plain_window(spark, features):
     a = sorted(map(tuple, salted.select("z", "x", "y", "feature_id").collect()))
     b = sorted(map(tuple, plain.select("z", "x", "y", "feature_id").collect()))
     assert a == b
+    # salt=256 (wider than any tile here) also identical — the parallelism-
+    # derived default (salt_buckets_for) can never change results
+    wide = topk_per_tile(df, 20, salt_buckets=256)
+    c = sorted(map(tuple, wide.select("z", "x", "y", "feature_id").collect()))
+    assert a == c
+
+
+def test_salt_buckets_scale_with_parallelism(spark, features):
+    from cloudtile_spark.operators.pyramid import (
+        DEFAULT_SALT_BUCKETS, capped_tile_summary, salt_buckets_for,
+    )
+    n = salt_buckets_for(features)
+    par = spark.sparkContext.defaultParallelism
+    assert n == max(DEFAULT_SALT_BUCKETS, min(4096, 2 * par))
+    assert salt_buckets_for(features, 7) == 7  # explicit override wins
+    # capped summary output is salt-invariant: explicit 8 vs 256 vs default
+    df = assign_xy(explode_zooms(features, 0, 2))
+    outs = [
+        sorted(map(tuple, capped_tile_summary(df, 20, salt_buckets=sb)
+                   .select("z", "x", "y", "feature_count", "checksum")
+                   .collect()))
+        for sb in (8, 256, None)
+    ]
+    assert outs[0] == outs[1] == outs[2]
 
 
 def test_guess_max_zoom(features):
