@@ -138,6 +138,20 @@ def bench_knn(spark, cores):
         caching.release_staged()
 
 
+def bench_pip_shuffle(spark, cores, n_zones=None):
+    """No-broadcast PIP (rings as rows, cogroup on cell) over the full
+    corpus x BENCH_ZONES polygons — the 'both sides 100 TB' path added in
+    round 3. Zone count is env-tunable so the zone-scaling experiment
+    (BENCH/SHUFFLE_JOIN.md) runs the same leg at 10x zones."""
+    from cloudtile_spark.operators.joins import pip_join_shuffle, zones_to_df
+    from cloudtile_spark.sources.zones import synth_zones
+
+    n_zones = n_zones or int(os.environ.get("BENCH_ZONES", "400"))
+    feats = spark.read.parquet(FEATURES_DIR)
+    zdf = zones_to_df(spark, synth_zones(n_zones))
+    return pip_join_shuffle(feats, zdf, res=7, salt_buckets=8).count()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -162,6 +176,10 @@ def main() -> None:
     t, n_rows = timed(lambda: bench_pip_poly(spark, cores))
     times["pip_poly_2m"] = round(t, 3)
     throughput["exact_pip_rows_per_sec"] = round(n_rows / t, 1)
+
+    t, n_rows = timed(lambda: bench_pip_shuffle(spark, cores))
+    times["pip_shuffle_2m"] = round(t, 3)
+    throughput["shuffle_pip_rows_per_sec"] = round(n_rows / t, 1)
 
     t, n_rows = timed(lambda: bench_knn(spark, cores))
     times["knn_512q"] = round(t, 3)

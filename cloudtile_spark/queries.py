@@ -764,6 +764,53 @@ def _knn_cell_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "pip_shuffle_join",
+    _pip_poly_oracle(),
+    doc="exact PIP with NO broadcast and no driver-side ring closure: zone "
+        "rings travel as DataFrame rows, distributed cell cover, cogroup on "
+        "cell + Arrow ray-cast refine (operators/joins.pip_join_shuffle — "
+        "the 'both sides 100 TB' path); same independent convex-half-plane "
+        "oracle as pip_poly_join",
+)
+def _pip_shuffle_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.joins import pip_join_shuffle, zones_to_df
+    from .sources.zones import synth_zones
+
+    pts = docs_geo(spark, sf_dir).withColumnRenamed("doc_id", "feature_id")
+    res = pip_join_shuffle(pts, zones_to_df(spark, synth_zones(25)), res=7,
+                           salt_buckets=4)
+    return res.groupBy("zone_id").agg(
+        F.count("*").alias("n_points"),
+        F.min("feature_id").alias("min_fid"),
+        F.max("feature_id").alias("max_fid"),
+    )
+
+
+@_register(
+    "knn_shuffle_k5",
+    _KNN_BRUTE_ORACLE,
+    doc="no-broadcast kNN: certified ring escalation with shuffle-only "
+        "certificate/anti joins and a salted replicated brute fallback "
+        "(operators/joins.knn_join_shuffle — for query sides too large to "
+        "broadcast, e.g. kNN self-join); oracle is plain brute force",
+)
+def _knn_shuffle_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.joins import knn_join_shuffle
+
+    g = docs_geo(spark, sf_dir)
+    pts = g.withColumnRenamed("doc_id", "feature_id")
+    qs = (
+        g.filter(F.col("doc_id") % 83 == 0)
+        .select(F.col("doc_id").alias("query_id"),
+                F.col("lon").alias("qlon"), F.col("lat").alias("qlat"))
+    )
+    out = knn_join_shuffle(pts, qs, k=5, res=6, ring=1)
+    return out.select(
+        "query_id", F.col("feature_id").alias("neighbor_id"), "rank"
+    )
+
+
 # ===========================================================================
 # Web-scale text ops over `documents` (training-data pipeline operators)
 # ===========================================================================

@@ -130,3 +130,53 @@ def test_pip_cells_equals_pip_bbox_path(spark, feats):
         b = sorted((r.feature_id, r.zone_id)
                    for r in pip_join_cells(feats, zones, res=res).collect())
         assert a == b, f"res={res}"
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    """Force every data join to a non-broadcast strategy (the 'both sides
+    100 TB' planning regime the round-2 verdict asked to evidence)."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_pip_shuffle_equals_broadcast_paths(spark, feats, no_broadcast):
+    """pip_join_shuffle (rings as rows, cogroup on cell, NO broadcast and
+    no driver closure) must equal the broadcast pip_join exactly — with
+    autoBroadcastJoinThreshold=-1 so nothing silently broadcasts, and with
+    hot-cell salting on and off."""
+    from cloudtile_spark.operators.joins import pip_join_shuffle, zones_to_df
+
+    zones = synth_zones(25)
+    a = sorted((r.feature_id, r.zone_id)
+               for r in pip_join(feats, zones).collect())
+    zdf = zones_to_df(spark, zones)
+    for res, salt in ((5, 1), (7, 1), (7, 8)):
+        out = pip_join_shuffle(feats, zdf, res=res, salt_buckets=salt)
+        b = sorted((r.feature_id, r.zone_id) for r in out.collect())
+        assert a == b, f"res={res} salt={salt}"
+    # plan audit: the unsalted shuffle path must not REQUIRE a broadcast
+    plan = pip_join_shuffle(feats, zdf, res=7)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastExchange" not in plan
+
+
+def test_knn_shuffle_equals_brute_force(spark, feats, no_broadcast):
+    """knn_join_shuffle: no data-derived broadcast anywhere (certificate and
+    fallback joins shuffle), exact vs brute force under
+    autoBroadcastJoinThreshold=-1 — including a fine res where the salted
+    replicated fallback must engage."""
+    from cloudtile_spark.operators.joins import knn_join_shuffle
+
+    qs = feats.filter(F.col("feature_id") % 151 == 0).select(
+        F.col("feature_id").alias("query_id"),
+        F.col("lon").alias("qlon"), F.col("lat").alias("qlat"),
+    )
+    expect = sorted(map(tuple, _brute_knn(spark, feats, qs, 5).collect()))
+    for res in (6, 10):  # res=10: sparse rings -> fallback engages
+        got = sorted(map(
+            tuple, knn_join_shuffle(feats, qs, k=5, res=res)
+            .select("query_id", "feature_id", "rank").collect()))
+        assert got == expect, f"res={res}"
