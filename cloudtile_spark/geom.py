@@ -160,13 +160,20 @@ def haversine_sql(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
 # Simplification — Douglas-Peucker (tippecanoe `simplification`, yaml:70)
 # ---------------------------------------------------------------------------
 
-def douglas_peucker(coords: np.ndarray, tolerance: float) -> np.ndarray:
+def douglas_peucker(coords: np.ndarray, tolerance: float,
+                    protect: np.ndarray | None = None) -> np.ndarray:
     """Iterative (stack-based) DP simplification; keeps endpoints.
 
     ``tolerance`` is in the same units as coords (tile-local units when called
     from the pyramid encoder: tolerance = simplification setting, i.e. 10
     tile units by default, matching tippecanoe's interpretation of its
     default resolution).
+
+    ``protect``: optional bool mask — protected vertices (shared-border
+    nodes, tippecanoe ``no-simplification-of-shared-nodes``) are anchors:
+    they always survive, and DP runs independently on each sub-chain
+    between consecutive anchors so the simplified shape on either side of
+    a shared node cannot depend on the non-shared remainder.
     """
     coords = np.asarray(coords, dtype=np.float64)
     n = len(coords)
@@ -174,7 +181,13 @@ def douglas_peucker(coords: np.ndarray, tolerance: float) -> np.ndarray:
         return coords
     keep = np.zeros(n, dtype=bool)
     keep[0] = keep[-1] = True
-    stack = [(0, n - 1)]
+    if protect is not None and protect.any():
+        keep |= np.asarray(protect, dtype=bool)
+        anchors = np.nonzero(keep)[0]
+        stack = [(int(anchors[i]), int(anchors[i + 1]))
+                 for i in range(len(anchors) - 1)]
+    else:
+        stack = [(0, n - 1)]
     while stack:
         i0, i1 = stack.pop()
         if i1 <= i0 + 1:
@@ -197,16 +210,20 @@ def douglas_peucker(coords: np.ndarray, tolerance: float) -> np.ndarray:
     return coords[keep]
 
 
-def visvalingam(coords: np.ndarray, min_area: float) -> np.ndarray:
+def visvalingam(coords: np.ndarray, min_area: float,
+                protect: np.ndarray | None = None) -> np.ndarray:
     """Visvalingam-Whyatt simplification (tippecanoe's ``visvalingam``
     alternative, reference tippecanoe.yaml:77): iteratively remove the
     vertex forming the smallest triangle until every remaining triangle's
-    effective area >= ``min_area``. Endpoints kept.
+    effective area >= ``min_area``. Endpoints kept; ``protect``-masked
+    vertices (shared-border nodes) are never removal candidates.
     """
     pts = np.asarray(coords, dtype=np.float64)
     n = len(pts)
     if n <= 2:
         return pts
+    prot = (np.asarray(protect, dtype=bool) if protect is not None
+            else np.zeros(n, dtype=bool))
     alive = list(range(n))
 
     def tri_area(i0, i1, i2):
@@ -217,7 +234,8 @@ def visvalingam(coords: np.ndarray, min_area: float) -> np.ndarray:
 
     while len(alive) > 2:
         areas = [
-            tri_area(alive[k - 1], alive[k], alive[k + 1])
+            math.inf if prot[alive[k]]
+            else tri_area(alive[k - 1], alive[k], alive[k + 1])
             for k in range(1, len(alive) - 1)
         ]
         k_min = int(np.argmin(areas))

@@ -501,6 +501,15 @@ def encode_geom_tiles(
     covered = tile_cover(
         features, minz, maxz,
         no_duplication=bool(settings.get("no-duplication")))
+    share_borders = bool(settings.get("detect-shared-borders")
+                         or settings.get("no-simplification-of-shared-nodes"))
+    if share_borders:
+        # shared-border topology (operators/borders.py): per-feature
+        # protected-vertex lists ride the cover rows into the grouped
+        # encode — an equi-join on feature_id, no driver-side geometry
+        from .borders import protected_nodes
+        covered = covered.join(protected_nodes(features), "feature_id",
+                               "left")
 
     def enc(key, pdf: pd.DataFrame) -> pd.DataFrame:
         z, x, y = int(key[0]), int(key[1]), int(key[2])
@@ -509,8 +518,16 @@ def encode_geom_tiles(
             for fid, gt, wkb in zip(pdf.feature_id, pdf.geom_type,
                                     pdf.geom_wkb)
         ]
+        protected = None
+        if share_borders:
+            protected = {
+                int(fid): set(zip(map(int, px), map(int, py)))
+                for fid, px, py in zip(pdf.feature_id, pdf.prot_x,
+                                       pdf.prot_y)
+                if px is not None and len(px)
+            }
         blob, n = encode_geom_tile_batch(z, x, y, feats, settings,
-                                         maxz=maxz)
+                                         maxz=maxz, protected=protected)
         if n == 0:
             return pd.DataFrame(
                 columns=["z", "x", "y", "feature_count", "mvt"]
@@ -530,6 +547,7 @@ def encode_geom_tile_batch(
     settings: TilingSettings,
     layer: str = "features",
     maxz: int | None = None,
+    protected: dict[int, set[tuple[int, int]]] | None = None,
 ) -> tuple[bytes, int]:
     """Encode one tile of WKB geometries (point/linestring/polygon) with
     clip + simplify + tiny-polygon reduction. Used by the generic geometry
@@ -578,8 +596,8 @@ def encode_geom_tile_batch(
     # simplifier choice: Douglas-Peucker (default) or Visvalingam-Whyatt
     # (tippecanoe `visvalingam`, yaml:77; area threshold ~ tol^2/2)
     if settings.get("visvalingam"):
-        def _simplify(pts, tol):
-            return geom.visvalingam(pts, (tol * tol) / 2.0)
+        def _simplify(pts, tol, protect=None):
+            return geom.visvalingam(pts, (tol * tol) / 2.0, protect=protect)
     else:
         _simplify = geom.douglas_peucker
     buffer_px = settings.get("buffer") or 5
@@ -624,6 +642,15 @@ def encode_geom_tile_batch(
     for fid, gtype_s, wkb in ordered:
         gcode = GEOM_TYPE_CODE[gtype_s]
         _, coords = geom.wkb_parse(wkb)
+        # shared-border nodes (operators/borders.py): mask aligned with
+        # coords rows; simplification never removes a protected vertex
+        prot_mask = None
+        if protected:
+            pk = protected.get(int(fid))
+            if pk:
+                from .borders import protect_mask as _pm
+                m = _pm(coords, pk)
+                prot_mask = m if m.any() else None
         px, py = tiles.tile_local_coords(coords[:, 0], coords[:, 1], z, x, y,
                                          extent=extent)
         pts = np.c_[px, py].astype(np.float64)
@@ -636,7 +663,7 @@ def encode_geom_tile_batch(
             if simp:
                 # honor the visvalingam setting for lines too (tippecanoe
                 # applies the chosen simplifier to both geometries)
-                pts = _simplify(pts, float(simp))
+                pts = _simplify(pts, float(simp), prot_mask)
             parts_f = ([pts] if no_clip
                        else geom.clip_line_to_rect(pts, lo, lo, hi, hi))
             parts = [p.round().astype(np.int64) for p in parts_f]
@@ -662,7 +689,7 @@ def encode_geom_tile_batch(
                     continue
             else:
                 if simp and len(pts) > 4:
-                    simplified = _simplify(pts, float(simp))
+                    simplified = _simplify(pts, float(simp), prot_mask)
                     # ring-survival guard: keep the original if DP collapsed
                     # the ring below a valid polygon
                     if len(simplified) >= 4:

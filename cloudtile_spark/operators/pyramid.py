@@ -230,20 +230,62 @@ def extend_zooms_while_dropping(
     minz: int,
     maxz: int,
     hard_limit: int = 15,
+    settings: Optional[TilingSettings] = None,
 ) -> int:
     """tippecanoe ``extend-zooms-if-still-dropping`` (reference
     tippecanoe.yaml:27): if the deepest requested zoom still drops features
     (densest tile > cap), extend max zoom until nothing drops or the hard
     limit. One aggregate job over all candidate extension zooms at once —
     a driver decision over a tiny result, not a per-zoom loop.
+
+    Drop-strategy FEEDBACK (round-2 verdict B17): the density that decides
+    extension is measured AFTER the configured merge/thinning strategy,
+    not on raw counts — a zoom where clustering or gamma thinning brings
+    the densest tile under the cap is NOT "still dropping":
+
+    * ``cluster-distance`` (tippecanoe.yaml:56): features snapping to the
+      same pixel-grid cell MERGE into one emitted cluster, so the
+      effective density is the DISTINCT snapped-cell count per tile
+      (global mercator pixels at zoom z = tile coords at z+8, / distance);
+    * ``gamma`` (tippecanoe.yaml:66): per pixel-bucket retention is
+      ceil(n^(1/gamma)), so effective density is the sum of retained
+      counts per tile.
+
+    Both still run as ONE aggregation over every candidate zoom.
     """
+    exploded = assign_xy(explode_zooms(
+        features.select("lon", "lat"), maxz, hard_limit))
+    cd = settings.get("cluster-distance") if settings else None
+    gamma = settings.get("gamma") if settings else None
+    if cd:
+        # snapped pixel cell at zoom z: global pixel coords are tile
+        # coords at zoom z+8 (2^(z+8) = 2^z * 256), bucketed by distance
+        gx = f"cast(floor(({tiles.tile_x_sql('lon', '(z + 8)')}) " \
+             f"/ {float(cd)!r}) as bigint)"
+        gy = f"cast(floor(({tiles.tile_y_sql('lat', '(z + 8)')}) " \
+             f"/ {float(cd)!r}) as bigint)"
+        per_tile = (
+            exploded.withColumn("gx", F.expr(gx)).withColumn("gy", F.expr(gy))
+            .groupBy("z", "x", "y")
+            .agg(F.countDistinct("gx", "gy").alias("eff"))
+        )
+    elif gamma:
+        gx = f"cast(floor(({tiles.tile_x_sql('lon', '(z + 8)')})) as bigint)"
+        gy = f"cast(floor(({tiles.tile_y_sql('lat', '(z + 8)')})) as bigint)"
+        per_tile = (
+            exploded.withColumn("gx", F.expr(gx)).withColumn("gy", F.expr(gy))
+            .groupBy("z", "x", "y", "gx", "gy").count()
+            .groupBy("z", "x", "y")
+            .agg(F.sum(F.ceil(F.pow(F.col("count").cast("double"),
+                                    1.0 / float(gamma)))).alias("eff"))
+        )
+    else:
+        per_tile = exploded.groupBy("z", "x", "y").agg(
+            F.count("*").alias("eff"))
     per_z_max = dict(
         (r.z, r.max_per_tile)
-        for r in assign_xy(explode_zooms(
-            features.select("lon", "lat"), maxz, hard_limit))
-        .groupBy("z", "x", "y").count()
-        .groupBy("z").agg(F.max("count").alias("max_per_tile"))
-        .collect()
+        for r in per_tile.groupBy("z")
+        .agg(F.max("eff").alias("max_per_tile")).collect()
     )
     z = maxz
     while z < hard_limit and per_z_max.get(z, 0) > cap:

@@ -811,6 +811,84 @@ def _knn_shuffle_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SHARED_BORDER_ORACLE = f"""
+    WITH {_GEO_CTE},
+    cells AS (SELECT DISTINCT {tiles.tile_x_sql('lon', '8')} AS cx,
+                              {tiles.tile_y_sql('lat', '8')} AS cy
+              FROM geo),
+    e AS (
+      SELECT cx * 1048576 + cy AS cell_id,
+             cx AS ax, cy AS ay, cx + 1 AS bx, cy AS by FROM cells
+      UNION ALL
+      SELECT cx * 1048576 + cy, cx, cy + 1, cx + 1, cy + 1 FROM cells
+      UNION ALL
+      SELECT cx * 1048576 + cy, cx, cy, cx, cy + 1 FROM cells
+      UNION ALL
+      SELECT cx * 1048576 + cy, cx + 1, cy, cx + 1, cy + 1 FROM cells),
+    sh AS (SELECT ax, ay, bx, by FROM e
+           GROUP BY ax, ay, bx, by HAVING count(DISTINCT cell_id) > 1)
+    SELECT e.cell_id, count(*) AS n_shared
+    FROM e JOIN sh ON e.ax = sh.ax AND e.ay = sh.ay
+                  AND e.bx = sh.bx AND e.by = sh.by
+    GROUP BY e.cell_id
+"""
+
+
+@_register(
+    "shared_borders_detect",
+    _SHARED_BORDER_ORACLE,
+    doc="detect-shared-borders (B-family topology, tippecanoe.yaml via "
+        "tippecanoe.py:108-110): per-polygon count of border segments "
+        "shared with a neighbor. Spark runs the REAL WKB pipeline "
+        "(operators/borders.segment_table -> canonical quantized keys -> "
+        "hash-agg shared set) over square rings built from the distinct "
+        "z8 occupied cells; the oracle models the same adjacency in pure "
+        "integer SQL on the cell grid",
+)
+def _shared_borders_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.borders import segment_table, shared_segments
+
+    g = docs_geo(spark, sf_dir)
+    cells = g.selectExpr(
+        f"{tiles.tile_x_sql('lon', '8')} AS cx",
+        f"{tiles.tile_y_sql('lat', '8')} AS cy",
+    ).distinct()
+
+    import numpy as np
+    import pandas as pd
+
+    out_schema = "feature_id long, geom_type string, geom_wkb binary"
+
+    def mk_rings(batches):
+        n = 256.0
+        for pdf in batches:
+            rows = []
+            for cx, cy in zip(pdf.cx, pdf.cy):
+                cx, cy = int(cx), int(cy)
+                lon0 = cx / n * 360.0 - 180.0
+                lon1 = (cx + 1) / n * 360.0 - 180.0
+                lat0 = float(np.degrees(np.arctan(
+                    np.sinh(np.pi * (1.0 - 2.0 * cy / n)))))
+                lat1 = float(np.degrees(np.arctan(
+                    np.sinh(np.pi * (1.0 - 2.0 * (cy + 1) / n)))))
+                ring = np.array([
+                    (lon0, lat0), (lon1, lat0), (lon1, lat1),
+                    (lon0, lat1), (lon0, lat0)])
+                rows.append((cx * 1048576 + cy, "polygon",
+                             geom.wkb_polygon(ring)))
+            yield pd.DataFrame(
+                rows, columns=["feature_id", "geom_type", "geom_wkb"])
+
+    rings = cells.mapInPandas(mk_rings, schema=out_schema)
+    seg = segment_table(rings)
+    sh = shared_segments(seg).drop("n_features")
+    return (
+        seg.join(sh, ["ax", "ay", "bx", "by"])
+        .groupBy(F.col("feature_id").alias("cell_id"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
 # ===========================================================================
 # Web-scale text ops over `documents` (training-data pipeline operators)
 # ===========================================================================

@@ -218,6 +218,33 @@ def test_extend_zooms_while_dropping(features):
     assert z2 == 3
 
 
+def test_extend_zooms_drop_strategy_feedback(features):
+    """B17 drop feedback (round-2 verdict #6): the extension decision must
+    see POST-strategy density. With a cluster distance so coarse that each
+    tile collapses to ~1 cluster, no zoom 'still drops' — the chosen max
+    zoom is LOWER than the raw-density answer at the same cap."""
+    from cloudtile_spark.operators.pyramid import extend_zooms_while_dropping
+
+    raw = extend_zooms_while_dropping(features, cap=20, minz=0, maxz=3)
+    assert raw > 3
+
+    s = TilingSettings()
+    # 64-px snap at zoom z: a 256-px tile holds <= 16 clusters < cap=20
+    s["cluster-distance"] = 64
+    clustered = extend_zooms_while_dropping(
+        features, cap=20, minz=0, maxz=3, settings=s)
+    assert clustered == 3 < raw
+
+    # gamma thinning: sqrt retention per pixel bucket lowers effective
+    # density, so the extension stops at or before the raw answer — and
+    # with a cap the thinned density still exceeds at maxz, it extends
+    s2 = TilingSettings()
+    s2["gamma"] = 2
+    thinned = extend_zooms_while_dropping(
+        features, cap=20, minz=0, maxz=3, settings=s2)
+    assert 3 <= thinned <= raw
+
+
 def test_geojson_reader_roundtrip(spark, tmp_path):
     import json as _json
     from cloudtile_spark.sources.readers import load_features
