@@ -253,3 +253,38 @@ def test_order_by_option(spark):
               for i in range(0, len(tags), 2)}
         langs.append(kv["lang"])
     assert set(langs) <= {"pt", "fr"} and "pt" in langs  # desc order kept tail langs
+
+
+def test_catalog_contract(tmp_path, spark, monkeypatch):
+    """Contract for the catalog layer (round-2 verdict #5): name-like refs
+    resolve through the SESSION CATALOG (managed table round-trip works,
+    unresolvable names fail loudly); path refs stay parquet. This test
+    fails if read_table regresses to treating a table name as a relative
+    parquet path."""
+    import pytest as _pytest
+    from pyspark.errors import AnalysisException
+    from cloudtile_spark.sources import catalog
+
+    monkeypatch.chdir(tmp_path)
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string")
+
+    # managed-table round-trip through the in-session catalog
+    catalog.write_table(df, "ct_contract_tbl")
+    try:
+        back = catalog.read_table(spark, "ct_contract_tbl")
+        assert sorted((r.id, r.v) for r in back.collect()) == \
+            [(1, "a"), (2, "b")]
+        # temp views resolve too (the cluster Iceberg path shares this API)
+        df.createOrReplaceTempView("ct_contract_view")
+        assert catalog.read_table(spark, "ct_contract_view").count() == 2
+        # unresolvable table name surfaces loudly, never a path read
+        with _pytest.raises(AnalysisException):
+            catalog.read_table(spark, "no_such_table_xyz").collect()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ct_contract_tbl")
+
+    # path refs still go straight to parquet
+    p = str(tmp_path / "ct_path.parquet")
+    catalog.write_table(df, p)
+    assert catalog.read_table(spark, p).count() == 2
