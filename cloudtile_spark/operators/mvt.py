@@ -34,7 +34,7 @@ from pyspark.sql import types as T
 
 from .. import geom, tiles
 from ..settings import TilingSettings
-from .pyramid import assign_xy, explode_zooms
+from .pyramid import assign_xy, explode_zooms, project_to_4326
 
 EXTENT = 4096
 _MOVETO, _LINETO, _CLOSEPATH = 1, 2, 7
@@ -264,13 +264,15 @@ TILE_SCHEMA = T.StructType([
 
 
 def _check_projection(settings: TilingSettings) -> None:
-    """tippecanoe ``projection`` (yaml:23-24, default null => EPSG:4326
-    input): only 4326 is supported — anything else fails loudly rather
-    than silently mis-projecting."""
+    """Projection guard for the WKB-geometry path: point pipelines accept
+    EPSG:3857 via pyramid.project_to_4326; WKB geometry sources remain
+    4326-only (loud), since reprojection there would have to rewrite every
+    ring inside the Arrow cover pass."""
     proj = settings.get("projection")
     if proj and str(proj).upper().lstrip("EPSG:") != "4326":
         raise NotImplementedError(
-            f"projection {proj!r} unsupported (EPSG:4326 input only)")
+            f"projection {proj!r} unsupported for WKB geometry sources "
+            "(EPSG:4326 only; point pipelines also accept EPSG:3857)")
 
 
 def encode_point_tiles(
@@ -287,7 +289,7 @@ def encode_point_tiles(
     sorts by feature_id; cap and byte budget drop the HIGHEST ids first.
     """
     settings = settings if settings is not None else TilingSettings()
-    _check_projection(settings)
+    features = project_to_4326(features, settings)
     # feature cap: limit-tile-feature-count[-at-maximum-zoom] override the
     # default cap (yaml:105-107); no-feature-limit / no-tile-size-limit
     # lift the budgets entirely

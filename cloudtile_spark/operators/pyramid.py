@@ -59,6 +59,26 @@ def salt_buckets_for(df: DataFrame, salt_buckets: Optional[int] = None) -> int:
     return max(DEFAULT_SALT_BUCKETS, min(4096, 2 * int(par)))
 
 
+def project_to_4326(df: DataFrame, settings: Optional[TilingSettings],
+                    lon: str = "lon", lat: str = "lat") -> DataFrame:
+    """tippecanoe ``projection`` (yaml:23-24): the declared INPUT
+    projection. EPSG:4326 (default) passes through; EPSG:3857 coordinates
+    (web-mercator meters in the lon/lat columns) reproject with the shared
+    inverse-mercator SQL builders — pure column math, codegen-friendly, no
+    UDF. Anything else fails loudly rather than silently mis-projecting."""
+    proj = settings.get("projection") if settings else None
+    if not proj:
+        return df
+    code = str(proj).upper().replace("EPSG:", "")
+    if code == "4326":
+        return df
+    if code == "3857":
+        return df.withColumn(lon, F.expr(tiles.merc_to_lon_sql(lon))) \
+                 .withColumn(lat, F.expr(tiles.merc_to_lat_sql(lat)))
+    raise NotImplementedError(
+        f"projection {proj!r} unsupported (EPSG:4326 or EPSG:3857 input)")
+
+
 def assign_xy(df: DataFrame, z_expr: str = "z",
               lon: str = "lon", lat: str = "lat") -> DataFrame:
     """Add x, y tile-coordinate columns for (lon, lat) at zoom column/literal
@@ -220,6 +240,7 @@ def build_pyramid(
     if hi == "g":
         hi = guess_max_zoom(features, settings["maximum-tile-features"])
     cap = settings["maximum-tile-features"]
+    features = project_to_4326(features, settings)
     df = assign_xy(explode_zooms(features, lo, hi))
     return capped_tile_summary(df, cap, with_ids=with_ids)
 

@@ -811,6 +811,32 @@ def _knn_shuffle_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_shared_sql(
+    "projection_3857_tiles",
+    f"""
+    WITH {_GEO_CTE},
+    m AS (SELECT doc_id,
+                 {tiles.lon_to_merc_sql('lon')} AS mx,
+                 {tiles.lat_to_merc_sql('lat')} AS my
+          FROM geo),
+    back AS (SELECT doc_id,
+                    {tiles.merc_to_lon_sql('mx')} AS lon,
+                    {tiles.merc_to_lat_sql('my')} AS lat
+             FROM m),
+    t AS (SELECT doc_id,
+                 {tiles.tile_x_sql('lon', '8')} AS x,
+                 {tiles.tile_y_sql('lat', '8')} AS y
+          FROM back)
+    SELECT x, y, count(*) AS n, min(doc_id) AS min_fid
+    FROM t GROUP BY x, y
+    """,
+    doc="EPSG:3857 input support (tippecanoe projection, yaml:23-24): "
+        "forward-project to web-mercator meters, reproject through the "
+        "engine's inverse-mercator builders (pyramid.project_to_4326 "
+        "shares these expressions), tile at z8 — identical math text in "
+        "both engines, so the projection path is hash-exact oracle-checked",
+)
+
 _SHARED_BORDER_ORACLE = f"""
     WITH {_GEO_CTE},
     cells AS (SELECT DISTINCT {tiles.tile_x_sql('lon', '8')} AS cx,

@@ -226,3 +226,28 @@ def tile_local_coords(
     px = np.clip(np.round(fx * extent), -extent, 2 * extent).astype(np.int64)
     py = np.clip(np.round(fy * extent), -extent, 2 * extent).astype(np.int64)
     return px, py
+
+
+# web-mercator (EPSG:3857) sphere radius — fixed by the projection spec,
+# distinct from the mean earth radius geom.py uses for haversine
+MERC_R = 6378137.0
+
+
+def merc_to_lon_sql(x: str) -> str:
+    """EPSG:3857 x (meters) -> longitude degrees. Pure arithmetic —
+    identical text runs in Spark SQL and the DuckDB oracle."""
+    return f"degrees(({x}) / {MERC_R!r})"
+
+
+def merc_to_lat_sql(y: str) -> str:
+    """EPSG:3857 y (meters) -> latitude degrees (inverse gudermannian)."""
+    return f"degrees(2.0 * atan(exp(({y}) / {MERC_R!r})) - pi() / 2.0)"
+
+
+def lon_to_merc_sql(lon: str) -> str:
+    return f"(radians({lon}) * {MERC_R!r})"
+
+
+def lat_to_merc_sql(lat: str) -> str:
+    phi = f"radians({clamped_lat_sql(lat)})"
+    return f"(ln(tan(pi() / 4.0 + ({phi}) / 2.0)) * {MERC_R!r})"

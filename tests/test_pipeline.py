@@ -339,3 +339,33 @@ def test_projection_guard(spark, features):
         mvt.encode_point_tiles(features, 0, 0, settings=s)
     s["projection"] = "epsg:4326"  # accepted
     assert mvt.encode_point_tiles(features, 0, 0, settings=s).count() == 1
+
+
+def test_projection_3857_point_pipeline(spark, features):
+    """EPSG:3857 input (tippecanoe projection): forward-project the feature
+    table to mercator meters, declare projection=EPSG:3857, and the pyramid
+    must equal the 4326 run exactly; unknown projections still fail loudly;
+    the WKB geometry path stays 4326-only."""
+    from cloudtile_spark import tiles as _tiles
+
+    s = TilingSettings()
+    base = sorted(map(tuple, build_pyramid(features, settings=s, minz=0,
+                                           maxz=4, with_ids=False)
+                      .select("z", "x", "y", "feature_count").collect()))
+
+    merc = features.selectExpr(
+        "feature_id",
+        f"{_tiles.lon_to_merc_sql('lon')} AS lon",
+        f"{_tiles.lat_to_merc_sql('lat')} AS lat",
+    )
+    s2 = TilingSettings()
+    s2["projection"] = "EPSG:3857"
+    got = sorted(map(tuple, build_pyramid(merc, settings=s2, minz=0,
+                                          maxz=4, with_ids=False)
+                     .select("z", "x", "y", "feature_count").collect()))
+    assert got == base
+
+    s3 = TilingSettings()
+    s3["projection"] = "EPSG:2154"
+    with pytest.raises(NotImplementedError):
+        build_pyramid(merc, settings=s3, minz=0, maxz=2).count()

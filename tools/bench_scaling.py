@@ -106,6 +106,19 @@ def run_at(cores: int) -> dict:
         ).count()
         jt.append(time.time() - t0)
     t_join = min(jt)
+    # no-broadcast PIP leg (round 3): rings as rows, cogroup refine — the
+    # operator whose scaling story is 'both sides 100 TB'
+    from cloudtile_spark.operators.joins import pip_join_shuffle, zones_to_df
+    from cloudtile_spark.sources.zones import synth_zones
+    zdf = zones_to_df(spark, synth_zones(200))
+    pip_join_shuffle(feats.limit(50_000), zdf, res=7,
+                     salt_buckets=8).count()  # warmup
+    st, n_sh = [], 0
+    for _ in range(2):
+        t0 = time.time()
+        n_sh = pip_join_shuffle(feats, zdf, res=7, salt_buckets=8).count()
+        st.append(time.time() - t0)
+    t_shuffle = min(st)
     spark.stop()
     return {
         "cores": cores,
@@ -116,6 +129,9 @@ def run_at(cores: int) -> dict:
         "join_sec": round(t_join, 2),
         "join_rows": n_join,
         "join_rows_per_sec": round(n_join / t_join, 1),
+        "shuffle_pip_sec": round(t_shuffle, 2),
+        "shuffle_pip_rows": n_sh,
+        "shuffle_pip_rows_per_sec": round(n_sh / t_shuffle, 1),
         "fingerprint": fp,
     }
 
@@ -137,8 +153,10 @@ def main() -> None:
     ratio = hi["cores"] / lo["cores"]
     eff_pyr = (lo["pyramid_sec"] / hi["pyramid_sec"]) / ratio
     eff_join = (lo["join_sec"] / hi["join_sec"]) / ratio
+    eff_sh = (lo["shuffle_pip_sec"] / hi["shuffle_pip_sec"]) / ratio
     identical = lo["fingerprint"] == hi["fingerprint"] and \
-        lo["pyramid_tiles"] == hi["pyramid_tiles"]
+        lo["pyramid_tiles"] == hi["pyramid_tiles"] and \
+        lo["shuffle_pip_rows"] == hi["shuffle_pip_rows"]
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(f"""# BENCH/BASELINE — two-parallelism scaling evidence
@@ -146,7 +164,8 @@ def main() -> None:
 North rule: throughput scaling efficiency >= 0.8 between cluster sizes N
 and 4N. Sandbox proxy (BASELINE.md): identical deterministic job at
 local[{lo['cores']}] vs local[{hi['cores']}] ({PAGES_N:,} synthetic pages,
-z0-12 pyramid + 200-zone broadcast PIP join).
+z0-12 pyramid + 200-zone broadcast PIP join + 200-zone NO-BROADCAST
+cogroup PIP join).
 
 | leg | local[{lo['cores']}] | local[{hi['cores']}] | efficiency |
 |---|---|---|---|
@@ -155,6 +174,8 @@ z0-12 pyramid + 200-zone broadcast PIP join).
 | pyramid features/sec | {lo['pyramid_features_per_sec']:,} | {hi['pyramid_features_per_sec']:,} | |
 | PIP join (sec) | {lo['join_sec']} | {hi['join_sec']} | {eff_join:.2f} |
 | PIP join rows/sec | {lo['join_rows_per_sec']:,} | {hi['join_rows_per_sec']:,} | |
+| no-broadcast PIP (sec) | {lo['shuffle_pip_sec']} | {hi['shuffle_pip_sec']} | {eff_sh:.2f} |
+| no-broadcast PIP rows/sec | {lo['shuffle_pip_rows_per_sec']:,} | {hi['shuffle_pip_rows_per_sec']:,} | |
 
 Output equivalence across parallelism levels (the determinism half of the
 two-cluster-size check): tiles={lo['pyramid_tiles']:,} at both levels,
@@ -165,6 +186,7 @@ Raw: ```{json.dumps(results)}```
     print(json.dumps({
         "efficiency_pyramid": round(eff_pyr, 3),
         "efficiency_join": round(eff_join, 3),
+        "efficiency_shuffle_pip": round(eff_sh, 3),
         "identical_output": identical,
         "results": results,
     }))
