@@ -812,6 +812,44 @@ def _knn_shuffle_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _shared_sql(
+    "url_dedup_canonical",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             'HTTPS://WWW.' || source || '.COM/Page/' || (doc_id % 30)
+             || '?utm_source=feed&uid=' || doc_id || '#section-2' AS url
+      FROM documents),
+    c AS (SELECT doc_id,
+                 lower(split_part(split_part(url, '#', 1), '?', 1)) AS curl
+          FROM u)
+    SELECT curl, count(*) AS n_docs, min(doc_id) AS keeper_id
+    FROM c GROUP BY curl HAVING count(*) > 1
+    """,
+    doc="URL-canonical dedup (web-corpus prep): case-fold scheme/host/path, "
+        "strip query string + fragment, keep min-id doc per canonical URL — "
+        "pure string ops, hash aggregate, no UDF",
+)
+
+_shared_sql(
+    "stratified_sample",
+    f"""
+    WITH r AS (
+      SELECT doc_id, lang,
+             CASE lang WHEN 'en' THEN cast(0.5 as double)
+                       WHEN 'de' THEN cast(0.2 as double)
+                       ELSE cast(0.1 as double) END AS rate
+      FROM documents),
+    kept AS (SELECT doc_id, lang FROM r WHERE {_u_sql('doc_id', 21)} < rate)
+    SELECT lang, count(*) AS n_kept,
+           min(doc_id) AS min_fid, max(doc_id) AS max_fid
+    FROM kept GROUP BY lang
+    """,
+    doc="per-stratum deterministic sampling (training-mix rebalancing): "
+        "language-keyed keep rates via the integer-arithmetic uniform — "
+        "reproducible at any parallelism, no F.rand",
+)
+
+_shared_sql(
     "projection_3857_tiles",
     f"""
     WITH {_GEO_CTE},
