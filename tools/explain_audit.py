@@ -88,6 +88,36 @@ def main() -> None:
             f"not per self-join reference)\n"
         )
 
+    # no-broadcast joins (round 3): with the broadcast threshold disabled,
+    # the shuffle PIP/kNN plans must contain ZERO BroadcastExchange over
+    # data-derived sides (literal frames — ring offsets, salt ids — are the
+    # only permitted hints, and pip_join_shuffle uses none at salt=1)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    from cloudtile_spark.operators.joins import pip_join_shuffle, zones_to_df
+    from cloudtile_spark.sources.zones import synth_zones
+
+    pts = docs_geo(spark, sf).withColumnRenamed("doc_id", "feature_id")
+    s = plan_of(pip_join_shuffle(pts, zones_to_df(spark, synth_zones(25)),
+                                 res=7, salt_buckets=1))
+    out.append(
+        f"## pip_join_shuffle unsalted (no-broadcast, threshold=-1)\n\n"
+        f"- BroadcastExchange operators: **{s.count('BroadcastExchange')}** "
+        f"(0 = nothing in the plan requires a broadcast; the salted variant "
+        f"adds exactly the literal salt-id frame)\n"
+        f"- join strategies: "
+        f"{sorted({w for w in s.split() if w.endswith('Join')})}\n"
+    )
+    s = plan_of(REGISTRY["knn_shuffle_k5"].spark_fn(spark, sf))
+    out.append(
+        f"## knn_shuffle_k5 (no-broadcast, threshold=-1)\n\n"
+        f"- BroadcastExchange operators: {s.count('BroadcastExchange')} — "
+        f"every F.broadcast hint in knn_join_shuffle is on a LITERAL frame "
+        f"(9-row ring offsets per pass, salt ids); certificate/anti joins "
+        f"carry no hint (hint_small=False) and plan as SortMergeJoin here\n"
+        f"- SortMergeJoin operators: {s.count('SortMergeJoin')}\n"
+    )
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
     # bucketing: two tables bucketed on the cell key join WITHOUT a shuffle
     # (the co-located-join strategy for repeated tile/cell joins at 100 TB)
     from cloudtile_spark import cells
