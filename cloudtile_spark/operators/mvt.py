@@ -500,6 +500,7 @@ def encode_geom_tiles(
     inside the encoder discards bbox-only intersections.
     """
     settings = settings if settings is not None else TilingSettings()
+    _check_projection(settings)  # WKB path: 4326 only (loud)
     covered = tile_cover(
         features, minz, maxz,
         no_duplication=bool(settings.get("no-duplication")))

@@ -811,6 +811,40 @@ def _knn_shuffle_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KNN_SELF_ORACLE = f"""
+    WITH {_GEO_CTE},
+    d AS (SELECT q.doc_id AS query_id, g.doc_id AS neighbor_id,
+                 {geom.haversine_sql('q.lon', 'q.lat', 'g.lon', 'g.lat')} AS dist
+          FROM geo q CROSS JOIN geo g WHERE g.doc_id <> q.doc_id),
+    r AS (SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY dist, neighbor_id) AS rank
+          FROM d)
+    SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 3
+"""
+
+
+@_register(
+    "knn_self_join_k3",
+    _KNN_SELF_ORACLE,
+    doc="kNN SELF-join (geo near-dup shape): EVERY row is a query — the "
+        "case where the query side is as large as the point side and can "
+        "never broadcast; runs on knn_join_shuffle (no data-derived "
+        "broadcast anywhere); oracle is the full brute-force cross join",
+)
+def _knn_self_join_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.joins import knn_join_shuffle
+
+    g = docs_geo(spark, sf_dir)
+    pts = g.withColumnRenamed("doc_id", "feature_id")
+    qs = g.select(F.col("doc_id").alias("query_id"),
+                  F.col("lon").alias("qlon"), F.col("lat").alias("qlat"))
+    out = knn_join_shuffle(pts, qs, k=3, res=6, ring=1)
+    return out.select(
+        "query_id", F.col("feature_id").alias("neighbor_id"), "rank"
+    )
+
+
 _shared_sql(
     "url_dedup_canonical",
     """

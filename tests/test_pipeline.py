@@ -333,12 +333,25 @@ def test_projection_guard(spark, features):
     from cloudtile_spark.operators import mvt
     from cloudtile_spark.settings import TilingSettings
 
+    # point path: 3857 now ACCEPTED (reprojected, see
+    # test_projection_3857_point_pipeline); unknown codes still raise
     s = TilingSettings()
-    s["projection"] = "EPSG:3857"
+    s["projection"] = "EPSG:2154"
     with pytest.raises(NotImplementedError):
         mvt.encode_point_tiles(features, 0, 0, settings=s)
     s["projection"] = "epsg:4326"  # accepted
     assert mvt.encode_point_tiles(features, 0, 0, settings=s).count() == 1
+    # WKB geometry path keeps the loud 4326-only guard
+    import numpy as np
+    from cloudtile_spark import geom as _geom
+    gdf = spark.createDataFrame(
+        [(1, "linestring", bytearray(_geom.wkb_linestring(
+            np.array([[0.0, 0.0], [1.0, 1.0]]))))],
+        "feature_id long, geom_type string, geom_wkb binary")
+    s2 = TilingSettings()
+    s2["projection"] = "EPSG:3857"
+    with pytest.raises(NotImplementedError):
+        mvt.encode_geom_tiles(gdf, 0, 0, s2)
 
 
 def test_projection_3857_point_pipeline(spark, features):
