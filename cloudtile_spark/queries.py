@@ -1571,6 +1571,77 @@ def _ts_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ASOF_ORACLE = """
+    WITH pur AS (SELECT event_id, user_id, ts FROM events
+                 WHERE event_type = 'purchase'),
+    clk AS (SELECT event_id, user_id, ts, value FROM events
+            WHERE event_type = 'click'),
+    ranked AS (
+      SELECT p.event_id AS purchase_id,
+             c.event_id AS click_id, c.value AS click_value,
+             epoch_us(c.ts) AS click_ts_us,
+             row_number() OVER (PARTITION BY p.event_id
+                                ORDER BY c.ts DESC, c.event_id DESC) AS rn
+      FROM pur p JOIN clk c ON c.user_id = p.user_id AND c.ts <= p.ts)
+    SELECT p.event_id AS purchase_id, p.user_id,
+           r.click_ts_us, r.click_id, r.click_value,
+           epoch_us(p.ts) - r.click_ts_us AS gap_us
+    FROM pur p LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r
+      ON r.purchase_id = p.event_id
+"""
+
+
+def _asof_clicks(spark: SparkSession, sf_dir: str,
+                 tolerance_us: Optional[int] = None) -> DataFrame:
+    from .operators.temporal import asof_join
+
+    load_views(spark, sf_dir)
+    ev = spark.table("events")
+    pur = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts")
+    clk = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value")
+    out = asof_join(pur, clk, on="ts", by="user_id",
+                    right_cols=("event_id", "value"), tiebreak="event_id",
+                    tolerance_us=tolerance_us)
+    return out.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts_r").alias("click_ts_us"),
+        F.col("event_id_r").alias("click_id"),
+        F.col("value_r").alias("click_value"),
+        (F.unix_micros(F.col("ts").cast("timestamp")) - F.col("ts_r"))
+        .alias("gap_us"),
+    )
+
+
+@_register(
+    "ts_asof_join",
+    _ASOF_ORACLE,
+    doc="as-of join (temporal nearest-previous): every purchase enriched "
+        "with the user's most recent prior click via the union+window "
+        "formulation (ONE shuffle on user_id, no pairwise blow-up, no "
+        "broadcast — both sides scale); oracle is the independent pairwise "
+        "inequality-join + row_number formulation",
+)
+def _ts_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _asof_clicks(spark, sf_dir)
+
+
+@_register(
+    "ts_asof_tolerance",
+    _ASOF_ORACLE.replace(
+        "AND c.ts <= p.ts",
+        "AND c.ts <= p.ts AND epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000",
+    ),
+    doc="as-of join with a 1-hour tolerance: matches older than the window "
+        "are NULLed (stale-state guard); same union+window plan, tolerance "
+        "applied post-carry so it is still one shuffle",
+)
+def _ts_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _asof_clicks(spark, sf_dir, tolerance_us=3_600_000_000)
+
+
 _shared_sql(
     "set_ops_reconcile",
     """
@@ -1739,6 +1810,104 @@ _shared_sql(
     doc="TPC-H Q10 shape: fact-dim joins + agg + global top-20 "
         "(TakeOrderedAndProject, not a full sort)",
 )
+
+# Q4: EXISTS correlated semi-join (compiles to LeftSemi — the probe side
+# streams, no row duplication from multiple matches)
+_shared_sql(
+    "tpch_q4",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape (synthetic-schema dates; no commit/receipt cols): "
+        "correlated EXISTS -> LeftSemi join, then hash agg; semi-join "
+        "never multiplies the probe side",
+)
+
+_shared_sql(
+    "anti_join_idle_customers",
+    """
+    SELECT c.c_nationkey, count(*) AS idle_customers,
+           min(c.c_custkey) AS sample_custkey
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c.c_nationkey
+    """,
+    doc="NOT EXISTS anti-join (customers with no urgent order), grouped by "
+        "nation: LeftAnti physical join — the standard incremental-load "
+        "'what is not yet processed' shape",
+)
+
+_shared_sql(
+    "events_cube_rollup",
+    """
+    WITH h AS (SELECT event_type, cast(hour(ts) as bigint) AS hr,
+                      cast(floor(value * 100) as bigint) AS cents
+               FROM events)
+    SELECT event_type, hr, count(*) AS n,
+           cast(sum(cents) as bigint) AS value_c100
+    FROM h GROUP BY CUBE (event_type, hr)
+    """,
+    doc="CUBE grouping sets over (event_type, hour): all four grouping "
+        "combinations in one shuffle (partial aggs expanded map-side), "
+        "integer-cents sums for cross-engine stability",
+)
+
+_shared_sql(
+    "events_median_value",
+    """
+    WITH c AS (SELECT event_type,
+                      cast(floor(value * 100) as bigint) AS cents
+               FROM events)
+    SELECT event_type,
+           cast(count(*) as bigint) AS n,
+           median(cents) AS median_cents
+    FROM c GROUP BY event_type
+    """,
+    doc="exact grouped median on integer cents (floor-form, interpolation "
+        "on integers is bit-exact cross-engine); Spark median() = exact "
+        "percentile at 0.5, not the approx sketch",
+)
+
+
+@_register(
+    "emb_hof_sumsq",
+    """
+    SELECT vec_id,
+           CAST(list_sum(list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+                     * CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)))
+                AS BIGINT) AS sumsq_q
+    FROM embeddings
+    WHERE vec_id < 200
+    """,
+    doc="higher-order array functions (SURVEY §2.C scalar/array fns): "
+        "per-vector sum of squared milli-quantized components entirely "
+        "inside Catalyst's transform/aggregate lambdas — no UDF, no "
+        "explode+groupBy shuffle; quantized to integers so the fold is "
+        "order-insensitive and bit-exact vs the DuckDB list oracle",
+)
+def _emb_hof_sumsq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT vec_id,
+               aggregate(transform(embedding,
+                         x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+                              * CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)),
+                         CAST(0 AS BIGINT), (acc, y) -> acc + y) AS sumsq_q
+        FROM embeddings
+        WHERE vec_id < 200
+        """
+    )
 
 
 _shared_sql(

@@ -1,0 +1,93 @@
+"""as-of join (operators/temporal.py): semantics + partition invariance."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from cloudtile_spark.operators.temporal import asof_join
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def _frames(spark):
+    # right: state rows (user, ts, id, val); left: fact rows (user, ts, id)
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T00:00:00"), 10, 1.0),
+            (1, _ts("2024-01-01T00:10:00"), 11, 2.0),
+            # two right rows at the SAME instant: tiebreak (larger id) wins
+            (1, _ts("2024-01-01T00:10:00"), 12, 3.0),
+            (2, _ts("2024-01-01T05:00:00"), 20, 9.0),
+        ],
+        "user_id long, ts timestamp, event_id long, value double",
+    )
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T00:05:00"), 100),  # -> 10
+            (1, _ts("2024-01-01T00:10:00"), 101),  # equal ts inclusive -> 12
+            (1, _ts("2024-01-01T02:00:00"), 102),  # -> 12 (latest)
+            (2, _ts("2024-01-01T00:00:00"), 200),  # nothing prior -> NULL
+            (3, _ts("2024-01-01T00:00:00"), 300),  # key absent -> NULL
+        ],
+        "user_id long, ts timestamp, event_id long",
+    )
+    return left, right
+
+
+def _collect(out):
+    rows = out.select("event_id", "event_id_r").collect()
+    return {r["event_id"]: r["event_id_r"] for r in rows}
+
+
+def test_asof_backward_semantics(spark):
+    left, right = _frames(spark)
+    out = asof_join(left, right, on="ts", by="user_id",
+                    right_cols=("event_id", "value"), tiebreak="event_id")
+    assert _collect(out) == {100: 10, 101: 12, 102: 12, 200: None, 300: None}
+    # matched timestamp surfaces as epoch micros of the right row
+    r101 = {r["event_id"]: r["ts_r"] for r in out.collect()}
+    assert r101[101] == int(_ts("2024-01-01T00:10:00")
+                            .replace(tzinfo=dt.timezone.utc).timestamp() * 1e6)
+
+
+def test_asof_forward_semantics(spark):
+    left, right = _frames(spark)
+    out = asof_join(left, right, on="ts", by="user_id",
+                    right_cols=("event_id",), tiebreak="event_id",
+                    direction="forward")
+    # forward = nearest right row at-or-after; tie at equal ts -> the
+    # SMALLEST tiebreak is nearest-last in the negated ordering? No:
+    # negation makes larger (-tb) sort earlier, so the carried last() is
+    # the smallest event_id among equal-ts rows.
+    assert _collect(out) == {100: 11, 101: 11, 102: None, 200: 20, 300: None}
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    left, right = _frames(spark)
+    out = asof_join(left, right, on="ts", by="user_id",
+                    right_cols=("event_id",), tiebreak="event_id",
+                    tolerance_us=30 * 60 * 1_000_000)  # 30 min
+    # 102 is 110 min after right row 12 -> NULLed by tolerance
+    assert _collect(out) == {100: 10, 101: 12, 102: None, 200: None, 300: None}
+
+
+def test_asof_partition_invariance(spark):
+    left, right = _frames(spark)
+    base = asof_join(left, right, on="ts", by="user_id",
+                     right_cols=("event_id",), tiebreak="event_id")
+    shuffled = asof_join(left.repartition(7), right.repartition(5),
+                         on="ts", by="user_id",
+                         right_cols=("event_id",), tiebreak="event_id")
+    assert _collect(base) == _collect(shuffled)
+
+
+def test_asof_plan_has_no_broadcast(spark):
+    left, right = _frames(spark)
+    out = asof_join(left, right, on="ts", by="user_id",
+                    right_cols=("event_id",), tiebreak="event_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" not in plan
+    # exactly the union+window shape: one Window, no SortMergeJoin
+    assert "Window" in plan and "SortMergeJoin" not in plan
