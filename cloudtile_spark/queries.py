@@ -27,7 +27,7 @@ from collections.abc import Callable
 from dataclasses import dataclass
 from typing import Optional
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import caching, cells, geom, tiles
@@ -1184,6 +1184,107 @@ def _init_dedup_queries() -> None:
         "exact 3-gram Jaccard pairs with rare-shingle inverted-index "
         "prefilter (bounded candidates, no cross-join); shingle stages "
         "persisted once on the Spark side",
+    )
+
+    # Connected components over the near-dup pair graph: pairs alone
+    # under-merge (A~B, B~C but never A~C); the keeper policy needs the
+    # transitive closure. Spark runs large-star/small-star (O(log n)
+    # rounds, operators/graph.py); the oracle computes the same
+    # min-reachable label with a DuckDB recursive CTE over the SAME
+    # MinHash pair pipeline.
+    duck_pairs = duck_sql  # minhash_lsh_pairs_sql(DUCK, ...) from above
+    _marker = "SELECT doc_a, doc_b, jac FROM scored"
+    _head, _tail = duck_pairs.rsplit(_marker, 1)
+    _ctes = _head.strip()[len("WITH"):].rstrip().rstrip(",")
+    cc_oracle = f"""
+    WITH RECURSIVE {_ctes},
+    pairs AS ({_marker} {_tail.strip()}),
+    e2 AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+           UNION ALL SELECT doc_b, doc_a FROM pairs),
+    vtx AS (SELECT DISTINCT src AS node FROM e2),
+    walk(node, comp) AS (
+        SELECT node, node FROM vtx
+        UNION
+        SELECT e2.dst, walk.comp FROM walk JOIN e2 ON e2.src = walk.node
+    ),
+    labels AS (SELECT node AS doc_id, min(comp) AS component
+               FROM walk GROUP BY node)
+    SELECT doc_id, component,
+           cast(count(*) OVER (PARTITION BY component) as bigint)
+             AS cluster_size
+    FROM labels
+    """
+
+    def cc_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .operators.graph import connected_components
+
+        load_views(spark, sf_dir)
+        caching.stage(
+            spark.sql(dd.minhash_band_rows_sql(dd.SPARK,
+                                               dd.PLANTED_CORPUS_CTE)),
+            "cc_b")
+        caching.stage(
+            spark.sql(dd.minhash_shingles_sql(dd.SPARK,
+                                              dd.PLANTED_CORPUS_CTE)),
+            "cc_shs")
+        pairs = spark.sql(dd.minhash_verify_sql(dd.SPARK, "cc_b", "cc_shs"))
+        cc = connected_components(pairs, "doc_a", "doc_b")
+        w = Window.partitionBy("component")
+        return cc.select(
+            F.col("node").alias("doc_id"), "component",
+            F.count(F.lit(1)).over(w).alias("cluster_size"))
+
+    REGISTRY["dedup_cc_clusters"] = Query(
+        "dedup_cc_clusters", cc_fn, cc_oracle,
+        "transitive closure of MinHash near-dup pairs into clusters via "
+        "alternating large-star/small-star connected components "
+        "(O(log n) shuffle rounds, no broadcast, operators/graph.py); "
+        "component id = min doc_id, oracle = recursive-CTE min-reachable "
+        "label over the identical pair pipeline",
+    )
+
+    # End-to-end dedup: pairs -> closure -> ONE keeper per cluster
+    # (longest text, min id tiebreak) — what a corpus prep job actually
+    # ships. Oracle = the recursive closure + the same keeper window.
+    _keeper_tail = """
+    ,
+    member AS (
+      SELECT l.component, l.doc_id, c.text
+      FROM labels l JOIN corpus c ON c.doc_id = l.doc_id),
+    ranked_m AS (
+      SELECT component, doc_id,
+             row_number() OVER (PARTITION BY component
+                                ORDER BY length(text) DESC, doc_id ASC)
+               AS rk
+      FROM member)
+    SELECT component, cast(count(*) as bigint) AS n_members,
+           min(CASE WHEN rk = 1 THEN doc_id END) AS keeper_id
+    FROM ranked_m GROUP BY component
+    """
+    _cc_body = cc_oracle.rsplit("SELECT doc_id, component,", 1)[0].rstrip()
+    _cc_body = _cc_body.rstrip()  # ends with "... GROUP BY node)"
+    keeper_oracle = _cc_body + _keeper_tail
+
+    def cc_keeper_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        cc = cc_fn(spark, sf_dir).select(
+            "doc_id", "component")
+        corpus = spark.sql(
+            f"WITH {dd.PLANTED_CORPUS_CTE} SELECT doc_id, text FROM corpus")
+        member = cc.join(corpus, "doc_id")
+        w = (Window.partitionBy("component")
+             .orderBy(F.length("text").desc(), F.col("doc_id").asc()))
+        ranked = member.select(
+            "component", "doc_id", F.row_number().over(w).alias("rk"))
+        return ranked.groupBy("component").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.min(F.when(F.col("rk") == 1, F.col("doc_id")))
+            .alias("keeper_id"))
+
+    REGISTRY["dedup_keep_best_cc"] = Query(
+        "dedup_keep_best_cc", cc_keeper_fn, keeper_oracle,
+        "end-to-end near-dup dedup: MinHash pairs -> connected-components "
+        "closure -> one keeper per CLUSTER (longest text, min-id tiebreak) "
+        "— the corpus-prep shape that pair-level dedup cannot express",
     )
 
 

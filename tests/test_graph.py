@@ -1,0 +1,75 @@
+"""connected_components (operators/graph.py): star-contraction CC."""
+
+import random
+
+from cloudtile_spark.operators.graph import connected_components
+
+
+def _py_cc(edges):
+    """Reference union-find."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    return {n: find(n) for n in parent}
+
+
+def _spark_cc(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = connected_components(df, "src", "dst")
+    return {r["node"]: r["component"] for r in out.collect()}
+
+
+def test_cc_chain_transitive_merge(spark):
+    # A-B, B-C, C-D: pairs never connect A-D directly; closure must.
+    edges = [(4, 3), (3, 2), (2, 1)]
+    assert _spark_cc(spark, edges) == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_cc_islands_and_self_loops(spark):
+    edges = [(1, 2), (5, 5), (10, 11), (11, 12)]
+    got = _spark_cc(spark, edges)
+    assert got == {1: 1, 2: 1, 5: 5, 10: 10, 11: 10, 12: 10}
+
+
+def test_cc_random_graph_matches_union_find(spark):
+    rng = random.Random(7)
+    nodes = list(range(200))
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(150)]
+    expect = _py_cc(edges)
+    got = _spark_cc(spark, edges)
+    assert got == expect
+
+
+def test_cc_long_chain_converges_fast(spark):
+    # a 64-long chain: label propagation would need 64 rounds; star
+    # contraction must finish well inside max_iter (O(log n)).
+    edges = [(i, i + 1) for i in range(64)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = connected_components(df, "src", "dst", max_iter=12)
+    got = {r["node"]: r["component"] for r in out.collect()}
+    assert set(got.values()) == {0} and len(got) == 65
+
+
+def test_cc_partition_invariance(spark):
+    rng = random.Random(11)
+    edges = [(rng.randrange(100), rng.randrange(100)) for _ in range(80)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = {(r["node"], r["component"])
+         for r in connected_components(df, "src", "dst").collect()}
+    b = {(r["node"], r["component"])
+         for r in connected_components(df.repartition(13), "src",
+                                       "dst").collect()}
+    assert a == b
