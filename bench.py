@@ -56,6 +56,7 @@ REGISTRY_QUERIES = [
     "dedup_minhash_lsh", "dedup_keep_best",
     "ann_cosine_topk", "ann_lsh_topk", "tpch_q1", "tpch_q3",
     "events_sessionize", "text_quality", "lang_id",
+    "ts_asof_join", "dedup_cc_clusters",
 ]
 
 

@@ -883,6 +883,35 @@ _shared_sql(
         "reproducible at any parallelism, no F.rand",
 )
 
+
+def _reservoir_sql(hash60: str, cast_str: str) -> str:
+    """Deterministic k=100 reservoir: ORDER BY hash-priority LIMIT k.
+    Spark plans this as TakeOrderedAndProject — per-partition partial
+    top-k merged on the driver, NO global sort, which IS the distributed
+    reservoir algorithm. Priority is the dialect 60-bit md5 hash, so the
+    sample is identical at any parallelism and on both engines."""
+    pri = hash60.format(s=f"'rsv1-' || cast(doc_id as {cast_str})")
+    return f"""
+    SELECT doc_id, lang, {pri} AS priority
+    FROM documents
+    ORDER BY priority, doc_id
+    LIMIT 100
+    """
+
+
+@_register(
+    "reservoir_sample",
+    _reservoir_sql(
+        "cast('0x' || substr(md5({s}), 1, 15) as bigint)", "varchar"),
+    doc="deterministic uniform reservoir sample (k=100) via hash-priority "
+        "top-k: TakeOrderedAndProject (partial per-partition top-k, no "
+        "global sort, no F.rand) — the reproducible corpus-sampling shape",
+)
+def _reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    return spark.sql(_reservoir_sql(
+        "cast(conv(substr(md5({s}), 1, 15), 16, 10) as bigint)", "string"))
+
 _shared_sql(
     "projection_3857_tiles",
     f"""

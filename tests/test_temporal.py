@@ -91,3 +91,44 @@ def test_asof_plan_has_no_broadcast(spark):
     assert "BroadcastExchange" not in plan
     # exactly the union+window shape: one Window, no SortMergeJoin
     assert "Window" in plan and "SortMergeJoin" not in plan
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    """Independent reference: pandas merge_asof (backward, exact matches
+    allowed) on randomized inputs with unique right timestamps per key."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(13)
+    base = 1_700_000_000_000_000
+    rights, seen = [], set()
+    for i in range(400):
+        key = rng.randrange(8)
+        t = base + rng.randrange(10_000) * 1_000_000
+        if (key, t) in seen:  # unique right ts per key -> no tie ambiguity
+            continue
+        seen.add((key, t))
+        rights.append((key, dt.datetime.utcfromtimestamp(t / 1e6), i, float(i)))
+    lefts = [(rng.randrange(10), dt.datetime.utcfromtimestamp(
+        (base + rng.randrange(10_000) * 1_000_000) / 1e6), 1000 + j)
+        for j in range(300)]
+
+    right = spark.createDataFrame(
+        rights, "user_id long, ts timestamp, event_id long, value double")
+    left = spark.createDataFrame(
+        lefts, "user_id long, ts timestamp, event_id long")
+    out = asof_join(left, right, on="ts", by="user_id",
+                    right_cols=("event_id",), tiebreak="event_id")
+    got = {r["event_id"]: r["event_id_r"] for r in out.collect()}
+
+    lp = pd.DataFrame(lefts, columns=["user_id", "ts", "event_id"]) \
+        .sort_values("ts").reset_index(drop=True)
+    rp = pd.DataFrame(rights,
+                      columns=["user_id", "ts", "r_event_id", "value"]) \
+        .sort_values("ts").reset_index(drop=True)
+    m = pd.merge_asof(lp, rp, on="ts", by="user_id", direction="backward")
+    expect = {int(r.event_id): (None if pd.isna(r.r_event_id)
+                                else int(r.r_event_id))
+              for r in m.itertuples()}
+    assert got == expect

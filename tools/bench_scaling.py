@@ -41,6 +41,8 @@ def fingerprint(df) -> int:
 
 
 INPUT_DIR = "/dev/shm/scale_input"
+ASOF_FACTS_DIR = "/dev/shm/scale_asof_facts"
+ASOF_STATE_DIR = "/dev/shm/scale_asof_state"
 
 
 def prepare_input() -> None:
@@ -52,6 +54,29 @@ def prepare_input() -> None:
         synth_pages(spark, PAGES_N, partitions=64).drop("page_id")
     ).select("feature_id", "lon", "lat")
     feats.repartition(64).write.mode("overwrite").parquet(INPUT_DIR)
+    # as-of leg input (x8 replication of the feature table into a
+    # fact/state event stream) — written ONCE so the timed leg measures
+    # the operator (shuffle + in-partition sort + carry), not row synthesis
+    feats = spark.read.parquet(INPUT_DIR)
+    ev = feats.select(
+        "feature_id", F.col("lon"),
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("_rep")
+    ).select(
+        (F.col("feature_id") * 8 + F.col("_rep")).alias("feature_id"),
+        F.col("lon")).select(
+        "feature_id",
+        (F.col("feature_id") % 200_000).alias("user_id"),
+        F.timestamp_micros(
+            (F.lit(1_700_000_000_000_000)
+             + (F.col("feature_id") * 37) % 86_400_000_000).cast("long")
+        ).alias("ts"),
+        F.col("lon").alias("value"))
+    ev.where(F.col("feature_id") % 5 == 0).select(
+        "user_id", "ts", "feature_id").repartition(64) \
+        .write.mode("overwrite").parquet(ASOF_FACTS_DIR)
+    ev.where(F.col("feature_id") % 5 != 0).select(
+        "user_id", "ts", "feature_id", "value").repartition(64) \
+        .write.mode("overwrite").parquet(ASOF_STATE_DIR)
     spark.stop()
 
 
@@ -74,7 +99,7 @@ def run_at(cores: int) -> dict:
     build_pyramid(feats.limit(20_000), minz=0, maxz=6,
                   with_ids=False).count()
     times, n_tiles = [], 0
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         n_tiles = build_pyramid(feats, minz=0, maxz=12,
                                 with_ids=False).count()
@@ -97,7 +122,7 @@ def run_at(cores: int) -> dict:
         & (F.col("lat") >= F.col("ymin")) & (F.col("lat") < F.col("ymax")),
     ).limit(1000).count()  # warm the join path too
     jt, n_join = [], 0
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         n_join = feats.join(
             F.broadcast(zones),
@@ -114,11 +139,34 @@ def run_at(cores: int) -> dict:
     pip_join_shuffle(feats.limit(50_000), zdf, res=7,
                      salt_buckets=8).count()  # warmup
     st, n_sh = [], 0
-    for _ in range(2):
-        t0 = time.time()
+    for _ in range(3):  # min-of-3: this Arrow-heavy leg shows the widest
+        t0 = time.time()  # run-to-run variance on the shared VM
         n_sh = pip_join_shuffle(feats, zdf, res=7, salt_buckets=8).count()
         st.append(time.time() - t0)
     t_shuffle = min(st)
+    # as-of join leg (round 3): temporal enrichment — union+window, ONE
+    # shuffle on the key; input derived deterministically from the feature
+    # table (no rand()), ~20% facts enriched from ~80% state rows
+    from cloudtile_spark.operators.temporal import asof_join
+    facts = spark.read.parquet(ASOF_FACTS_DIR)
+    state = spark.read.parquet(ASOF_STATE_DIR)
+    def run_asof(f, s):
+        # aggregate over the CARRIED column: a bare count() lets Catalyst
+        # prune the window (row count is window-independent) and the leg
+        # would time the union+filter only
+        r = asof_join(f, s, on="ts", by="user_id",
+                      right_cols=("value",), tiebreak="feature_id"
+                      ).agg(F.count("value_r").alias("n_matched"),
+                            F.count(F.lit(1)).alias("n")).collect()[0]
+        return r["n"]
+
+    run_asof(facts.limit(20_000), state.limit(80_000))  # warmup
+    at, n_asof = [], 0
+    for _ in range(3):
+        t0 = time.time()
+        n_asof = run_asof(facts, state)
+        at.append(time.time() - t0)
+    t_asof = min(at)
     spark.stop()
     return {
         "cores": cores,
@@ -132,6 +180,9 @@ def run_at(cores: int) -> dict:
         "shuffle_pip_sec": round(t_shuffle, 2),
         "shuffle_pip_rows": n_sh,
         "shuffle_pip_rows_per_sec": round(n_sh / t_shuffle, 1),
+        "asof_sec": round(t_asof, 2),
+        "asof_rows": n_asof,
+        "asof_facts_per_sec": round(n_asof / t_asof, 1),
         "fingerprint": fp,
     }
 
@@ -154,9 +205,11 @@ def main() -> None:
     eff_pyr = (lo["pyramid_sec"] / hi["pyramid_sec"]) / ratio
     eff_join = (lo["join_sec"] / hi["join_sec"]) / ratio
     eff_sh = (lo["shuffle_pip_sec"] / hi["shuffle_pip_sec"]) / ratio
+    eff_asof = (lo["asof_sec"] / hi["asof_sec"]) / ratio
     identical = lo["fingerprint"] == hi["fingerprint"] and \
         lo["pyramid_tiles"] == hi["pyramid_tiles"] and \
-        lo["shuffle_pip_rows"] == hi["shuffle_pip_rows"]
+        lo["shuffle_pip_rows"] == hi["shuffle_pip_rows"] and \
+        lo["asof_rows"] == hi["asof_rows"]
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(f"""# BENCH/BASELINE — two-parallelism scaling evidence
@@ -165,7 +218,7 @@ North rule: throughput scaling efficiency >= 0.8 between cluster sizes N
 and 4N. Sandbox proxy (BASELINE.md): identical deterministic job at
 local[{lo['cores']}] vs local[{hi['cores']}] ({PAGES_N:,} synthetic pages,
 z0-12 pyramid + 200-zone broadcast PIP join + 200-zone NO-BROADCAST
-cogroup PIP join).
+cogroup PIP join + as-of temporal join).
 
 | leg | local[{lo['cores']}] | local[{hi['cores']}] | efficiency |
 |---|---|---|---|
@@ -176,6 +229,8 @@ cogroup PIP join).
 | PIP join rows/sec | {lo['join_rows_per_sec']:,} | {hi['join_rows_per_sec']:,} | |
 | no-broadcast PIP (sec) | {lo['shuffle_pip_sec']} | {hi['shuffle_pip_sec']} | {eff_sh:.2f} |
 | no-broadcast PIP rows/sec | {lo['shuffle_pip_rows_per_sec']:,} | {hi['shuffle_pip_rows_per_sec']:,} | |
+| as-of join (sec) | {lo['asof_sec']} | {hi['asof_sec']} | {eff_asof:.2f} |
+| as-of facts/sec | {lo['asof_facts_per_sec']:,} | {hi['asof_facts_per_sec']:,} | |
 
 Output equivalence across parallelism levels (the determinism half of the
 two-cluster-size check): tiles={lo['pyramid_tiles']:,} at both levels,
@@ -187,6 +242,7 @@ Raw: ```{json.dumps(results)}```
         "efficiency_pyramid": round(eff_pyr, 3),
         "efficiency_join": round(eff_join, 3),
         "efficiency_shuffle_pip": round(eff_sh, 3),
+        "efficiency_asof": round(eff_asof, 3),
         "identical_output": identical,
         "results": results,
     }))

@@ -116,6 +116,40 @@ def main() -> None:
         f"carry no hint (hint_small=False) and plan as SortMergeJoin here\n"
         f"- SortMergeJoin operators: {s.count('SortMergeJoin')}\n"
     )
+    # as-of join (round 3): union+window — the whole point is ONE hash
+    # exchange on the key and zero joins of any kind in the plan
+    s = plan_of(REGISTRY["ts_asof_join"].spark_fn(spark, sf))
+    out.append(
+        f"## ts_asof_join (no-broadcast, threshold=-1)\n\n"
+        f"- BroadcastExchange operators: **{s.count('BroadcastExchange')}**\n"
+        f"- join operators: "
+        f"{sorted({w for w in s.split() if w.endswith('Join')}) or 'NONE'} "
+        f"(union+window replaces the pairwise inequality join)\n"
+        f"- Window operators: {s.count('Window')} (the single carry-forward "
+        f"pass)\n"
+        f"- Exchange (shuffle): {s.count('Exchange')}\n"
+    )
+
+    # connected components (round 3): one star round's building blocks —
+    # hash agg + key-equi joins only, no broadcast of data-derived frames
+    from cloudtile_spark.operators.graph import _large_star, _small_star
+    from pyspark.sql import functions as F
+
+    edges = spark.range(0, 1000).select(
+        F.col("id").alias("u"), ((F.col("id") * 7 + 3) % 997).alias("v"))
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    s = plan_of(_small_star(_large_star(sym)))
+    out.append(
+        f"## connected-components star round (no-broadcast, threshold=-1)\n\n"
+        f"- BroadcastExchange operators: **{s.count('BroadcastExchange')}**\n"
+        f"- join strategies: "
+        f"{sorted({w for w in s.split() if w.endswith('Join')})} "
+        f"(min-per-node agg joined back on the node key — shuffle-only)\n"
+        f"- HashAggregate: {s.count('HashAggregate')}\n"
+        f"(each round re-plans from a localCheckpoint, so THIS is the "
+        f"whole per-round plan — lineage does not grow with iterations)\n"
+    )
     spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
     # bucketing: two tables bucketed on the cell key join WITHOUT a shuffle
