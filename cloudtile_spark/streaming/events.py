@@ -203,3 +203,67 @@ def follow_up_pairs(stream: DataFrame, gap_minutes: int = 10) -> DataFrame:
             AND a_event < b_event
         """),
     ).select("a_user", "a_event", "b_event")
+
+
+_ASOF_STATE = T.StructType([
+    T.StructField("click_id", T.LongType()),
+    T.StructField("click_ts_us", T.LongType()),
+])
+_ASOF_OUT = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("purchase_id", T.LongType()),
+    T.StructField("ts_us", T.LongType()),
+    T.StructField("click_id", T.LongType()),
+    T.StructField("click_ts_us", T.LongType()),
+    T.StructField("gap_us", T.LongType()),
+])
+
+
+def asof_enrich_stream(stream: DataFrame) -> DataFrame:
+    """Streaming as-of: the stateful twin of operators/temporal.asof_join.
+
+    The state store keeps ONE row per user (latest click id + timestamp);
+    every purchase emits immediately, enriched with that state — O(1)
+    state per key vs. the batch union+window which needs the whole
+    history. Equal-timestamp semantics match the batch operator: a click
+    at exactly the purchase ts IS visible (clicks sort first within a
+    batch), and equal-ts clicks resolve to the highest event_id.
+
+    Cross-batch ordering caveat (standard for stream processing): rows
+    are ordered within each micro-batch; late clicks arriving in a LATER
+    batch than a purchase they precede do not retro-enrich it. The batch
+    twin is the backfill path for that case.
+    """
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            last_id, last_ts = state.get
+        else:
+            last_id, last_ts = None, None
+        out = []
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf["tus"] = pdf["ts"].astype("int64") // 1000  # ns -> us
+        pdf["prank"] = (pdf["event_type"] == "purchase").astype("int64")
+        pdf = pdf.sort_values(["tus", "prank", "event_id"])
+        for r in pdf.itertuples():
+            if r.event_type == "click":
+                last_id, last_ts = int(r.event_id), int(r.tus)
+            elif r.event_type == "purchase":
+                out.append((
+                    int(key[0]), int(r.event_id), int(r.tus),
+                    last_id, last_ts,
+                    None if last_ts is None else int(r.tus) - last_ts,
+                ))
+        if last_id is not None:
+            state.update((last_id, last_ts))
+        yield pd.DataFrame(
+            out, columns=[f.name for f in _ASOF_OUT.fields])
+
+    return (
+        stream.where(F.col("event_type").isin("click", "purchase"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn, outputStructType=_ASOF_OUT, stateStructType=_ASOF_STATE,
+            outputMode="append", timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

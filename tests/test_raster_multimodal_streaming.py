@@ -270,3 +270,39 @@ def test_stream_stream_followup_join_equals_batch(spark, events_stream_dir):
                   "AND b_ts <= a_ts + interval 10 minutes "
                   "AND a_event < b_event")).collect()}
     assert got == want and got
+
+
+def test_streaming_asof_enrich_equals_batch(spark, tmp_path_factory):
+    """Single-batch stream: the stateful as-of must match the batch
+    union+window operator exactly (inclusive equal-ts, max-id tiebreak)."""
+    from cloudtile_spark.operators.temporal import asof_join
+    from cloudtile_spark.streaming import events as st
+
+    d = str(tmp_path_factory.mktemp("asof_stream"))
+    spark.read.parquet(f"{SF_DIR}/events.parquet").coalesce(1) \
+        .write.mode("overwrite").parquet(d)
+
+    stream = st.read_events_stream(spark, d)
+    st.run_to_memory(st.asof_enrich_stream(stream), "asof_t", mode="append")
+    got = {r.purchase_id: (r.click_id, r.gap_us)
+           for r in spark.sql("SELECT * FROM asof_t").collect()}
+
+    ev = spark.read.parquet(d)
+    pur = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts")
+    clk = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value")
+    out = asof_join(pur, clk, on="ts", by="user_id",
+                    right_cols=("event_id",), tiebreak="event_id")
+    expect = {
+        r["event_id"]: (
+            r["event_id_r"],
+            None if r["ts_r"] is None else r["_gap"],
+        )
+        for r in out.withColumn(
+            "_gap",
+            F.unix_micros(F.col("ts").cast("timestamp")) - F.col("ts_r")
+        ).collect()
+    }
+    assert len(got) == len(expect) > 0
+    assert got == expect
