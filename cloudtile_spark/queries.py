@@ -1941,6 +1941,132 @@ _shared_sql(
         "(TakeOrderedAndProject, not a full sort)",
 )
 
+# Q7: volume shipping between a nation pair — two aliases of the SAME
+# dim table (nation), 5-way join, year rollup
+_shared_sql(
+    "tpch_q7",
+    f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l.l_shipdate) AS l_year,
+           {_REVENUE_CENTS.replace('l_extendedprice', 'l.l_extendedprice')
+                          .replace('l_discount', 'l.l_discount')}
+             AS revenue_c100
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+    """,
+    doc="TPC-H Q7 shape: 5-way fact-dim join with the nation dim joined "
+        "TWICE under different aliases (both broadcast), nation-pair "
+        "filter, per-year rollup in integer cents",
+)
+
+
+_JOURNEY_W = ("OVER (PARTITION BY user_id ORDER BY ts, event_id)")
+
+
+def _journey_sql(epoch_us: str) -> str:
+    return f"""
+    WITH j AS (
+      SELECT user_id, event_id,
+             row_number() {_JOURNEY_W} AS seq,
+             {epoch_us} - lag({epoch_us}) {_JOURNEY_W} AS gap_us,
+             ntile(4) {_JOURNEY_W} AS quartile,
+             cume_dist() {_JOURNEY_W} AS cd
+      FROM events WHERE user_id < 20)
+    SELECT user_id, event_id, seq, gap_us, quartile,
+           cast(floor(cd * 1000) as bigint) AS cd_millis
+    FROM j
+    """
+
+
+@_register(
+    "events_user_journey",
+    _journey_sql("epoch_us(ts)"),
+    doc="window-function breadth over the per-user journey: row_number + "
+        "lag inter-event gap + ntile quartile + cume_dist, ONE window "
+        "spec = one shuffle + one in-partition sort; cume_dist floored to "
+        "integer millis (exact small-int division, engine-stable)",
+)
+def _events_user_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    return spark.sql(
+        _journey_sql("unix_micros(cast(ts as timestamp))"))
+
+
+def _scd2_sql(epoch_s: str) -> str:
+    # change history: each user's signup/purchase 'value' changes over
+    # time; SCD2 = one row per version with [valid_from, valid_to)
+    return f"""
+    WITH chg AS (
+      SELECT user_id, event_id, {epoch_s} AS change_ts,
+             cast(floor(value * 100) as bigint) AS attr_cents
+      FROM events WHERE event_type = 'signup' AND user_id < 40),
+    v AS (
+      SELECT user_id, event_id, attr_cents,
+             change_ts AS valid_from,
+             lead(change_ts) OVER (PARTITION BY user_id
+                                   ORDER BY change_ts, event_id) AS valid_to
+      FROM chg)
+    SELECT user_id, event_id, attr_cents, valid_from, valid_to,
+           CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM v
+    """
+
+
+@_register(
+    "scd2_versions",
+    _scd2_sql("epoch_us(ts)"),
+    doc="slowly-changing-dimension type 2 from a change log: one row per "
+        "version with [valid_from, valid_to) via lead() — the metadata-"
+        "table versioning shape (no Delta/Iceberg MERGE needed; the "
+        "version window is one shuffle on the key)",
+)
+def _scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    return spark.sql(_scd2_sql("unix_micros(cast(ts as timestamp))"))
+
+
+@_register(
+    "events_unpivot_metrics",
+    """
+    WITH w AS (
+      SELECT event_type,
+             cast(count(*) as bigint) AS n_events,
+             cast(count(DISTINCT user_id) as bigint) AS n_users,
+             cast(sum(cast(floor(value * 100) as bigint)) as bigint)
+               AS cents
+      FROM events GROUP BY event_type)
+    SELECT event_type, metric, val FROM w
+    UNPIVOT (val FOR metric IN (n_events, n_users, cents))
+    """,
+    doc="UNPIVOT (wide metrics -> long key/value rows, the feature-store "
+        "export shape): Spark expands via stack() in the same plan as the "
+        "aggregation — no extra shuffle; oracle uses DuckDB UNPIVOT",
+)
+def _events_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH w AS (
+          SELECT event_type,
+                 cast(count(*) as bigint) AS n_events,
+                 cast(count(DISTINCT user_id) as bigint) AS n_users,
+                 cast(sum(cast(floor(value * 100) as bigint)) as bigint)
+                   AS cents
+          FROM events GROUP BY event_type)
+        SELECT event_type, metric, val
+        FROM w
+        UNPIVOT (val FOR metric IN (n_events, n_users, cents))
+        """
+    )
+
+
 # Q4: EXISTS correlated semi-join (compiles to LeftSemi — the probe side
 # streams, no row duplication from multiple matches)
 _shared_sql(
