@@ -1591,6 +1591,51 @@ def _events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "events_session_window",
+    """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+    s AS (
+      SELECT user_id, tus,
+             CASE WHEN lag(tus) OVER w IS NULL
+                  OR tus - lag(tus) OVER w >= 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+    t AS (
+      SELECT user_id, tus,
+             cast(sum(new_s) OVER (PARTITION BY user_id ORDER BY tus
+                                   ROWS UNBOUNDED PRECEDING) as bigint)
+               AS sid
+      FROM s)
+    SELECT user_id, min(tus) AS session_start_us,
+           max(tus) + 1800000000 AS session_end_us,
+           count(*) AS n_events
+    FROM t GROUP BY user_id, sid
+    """,
+    doc="NATIVE Spark session_window (30-min gap) — the built-in "
+        "session operator the streaming path reuses; oracle is the "
+        "independent gaps-and-islands formulation (lag + running sum) in "
+        "integer micros; session end = last event + gap, matching Spark's "
+        "window.end",
+)
+def _events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    ev = spark.table("events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"))
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start"))
+            .alias("session_start_us"),
+            F.unix_micros(F.col("session_window.end"))
+            .alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
+@_register(
     "events_sessionize",
     """
     WITH s AS (
