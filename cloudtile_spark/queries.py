@@ -1344,6 +1344,39 @@ def _occurs(col: str, word: str) -> str:
     )
 
 
+def _clean_sql(flags: str) -> str:
+    # lower -> strip non-alnum -> collapse whitespace -> trim: the standard
+    # pre-tokenization normalization pass, entirely in JVM regexp (Spark)
+    # / native regexp (DuckDB oracle). DuckDB needs the explicit 'g' flag;
+    # Spark replaces all matches by default.
+    return f"""
+    WITH c AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text),
+                  '[^a-z0-9 ]', ' '{flags}), ' +', ' '{flags})) AS clean
+      FROM documents)
+    SELECT doc_id,
+           cast(length(clean) as bigint) AS n_chars_clean,
+           cast(length(clean) - length(replace(clean, ' ', '')) + 1
+                as bigint) AS n_tokens_clean,
+           md5(clean) AS clean_md5
+    FROM c
+    """
+
+
+@_register(
+    "text_clean_normalize",
+    _clean_sql(", 'g'"),
+    doc="text cleaning/normalization (pre-tokenization pass): case-fold, "
+        "strip non-alphanumerics, collapse whitespace — md5 of the "
+        "cleaned text proves byte-identical output across engines; all "
+        "codegen-side regexp, no UDF",
+)
+def _text_clean_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    return spark.sql(_clean_sql(""))
+
+
 _shared_sql(
     "text_quality",
     f"""
@@ -2002,13 +2035,13 @@ _shared_sql(
     JOIN customer c ON c.c_custkey = o.o_custkey
     JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
     JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
-    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    WHERE n1.n_nationkey % 2 = 0 AND n2.n_nationkey % 2 = 1
     GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
     """,
     doc="TPC-H Q7 shape: 5-way fact-dim join with the nation dim joined "
-        "TWICE under different aliases (both broadcast), nation-pair "
-        "filter, per-year rollup in integer cents",
+        "TWICE under different aliases (both broadcast), nation-group "
+        "pair filter (scale-independent), per-year rollup in integer "
+        "cents",
 )
 
 
