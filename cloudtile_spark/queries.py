@@ -626,6 +626,40 @@ _shared_sql(
 )
 
 
+_shared_sql(
+    "zone_overlap_area",
+    f"""
+    WITH {_GEO_CTE},
+    zones AS ({_zone_sql()}),
+    fb AS (SELECT doc_id,
+                  lon - 1.5 AS fxmin, lon + 1.5 AS fxmax,
+                  lat - 1.0 AS fymin, lat + 1.0 AS fymax
+           FROM geo),
+    ov AS (
+      SELECT z.zone_id, f.doc_id,
+             cast(floor(
+               greatest(cast(0.0 as double),
+                        least(f.fxmax, z.xmax) - greatest(f.fxmin, z.xmin))
+               * greatest(cast(0.0 as double),
+                          least(f.fymax, z.ymax) - greatest(f.fymin, z.ymin))
+               * 1000000.0) as bigint) AS area_u
+      FROM fb f JOIN zones z
+        ON f.fxmin < z.xmax AND f.fxmax > z.xmin
+       AND f.fymin < z.ymax AND f.fymax > z.ymin)
+    SELECT zone_id, count(*) AS n_overlaps,
+           cast(sum(area_u) as bigint) AS total_area_u,
+           min(doc_id) AS min_fid
+    FROM ov WHERE area_u > 0
+    GROUP BY zone_id
+    """,
+    doc="vector OVERLAY join (intersection AREA per feature x zone pair): "
+        "bbox range join + exact rect-intersection area, micro-degree^2 "
+        "integer units so the sum is fold-order-free; the polygon-general "
+        "path runs the same shape with the Arrow clip kernel "
+        "(geom.clip_ring_to_rect, NumPy-parity tested)",
+)
+
+
 @_register(
     "knn_k5",
     f"""
