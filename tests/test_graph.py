@@ -73,3 +73,14 @@ def test_cc_partition_invariance(spark):
          for r in connected_components(df.repartition(13), "src",
                                        "dst").collect()}
     assert a == b
+
+
+def test_cc_hot_star_node(spark):
+    # one hub with 3000 spokes (the boilerplate-cluster shape): the min
+    # aggregation per node must absorb the hot key without blowing up,
+    # and converge in very few rounds.
+    edges = [(0, i) for i in range(1, 3001)] + [(5000, 2999)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = connected_components(df, "src", "dst", max_iter=8)
+    got = {r["node"]: r["component"] for r in out.collect()}
+    assert len(got) == 3002 and set(got.values()) == {0}
