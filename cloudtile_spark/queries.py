@@ -2246,6 +2246,60 @@ _shared_sql(
 )
 
 
+_CENTROIDS = [
+    [((k * 37 + i * 101) % 501) - 250 for i in range(64)] for k in range(4)
+]
+_QEMB_SPARK = ("transform(embedding, x -> "
+               "cast(floor(cast(x as double) * 1000) as bigint))")
+_QEMB_DUCK = ("list_transform(embedding, x -> "
+              "cast(floor(cast(x as double) * 1000) as bigint))")
+
+
+def _cdist_spark(c: list) -> str:
+    lits = ", ".join(str(v) for v in c)
+    return (f"aggregate(zip_with(e, array({lits}), "
+            f"(x, y) -> (x - y) * (x - y)), "
+            f"cast(0 as bigint), (a, v) -> a + v)")
+
+
+def _cdist_duck(c: list) -> str:
+    lits = ", ".join(str(v) for v in c)
+    return (f"cast(list_sum(list_transform(list_zip(e, [{lits}]), "
+            f"p -> (p[1] - p[2]) * (p[1] - p[2]))) as bigint)")
+
+
+def _assign_sql(qemb: str, cdist) -> str:
+    ds = ",\n             ".join(
+        f"{cdist(_CENTROIDS[k])} AS d{k}" for k in range(4))
+    return f"""
+    WITH q AS (SELECT vec_id, {qemb} AS e
+               FROM embeddings WHERE vec_id < 300),
+    d AS (SELECT vec_id,
+             {ds}
+          FROM q)
+    SELECT vec_id,
+           CASE WHEN d0 <= d1 AND d0 <= d2 AND d0 <= d3 THEN 0
+                WHEN d1 <= d2 AND d1 <= d3 THEN 1
+                WHEN d2 <= d3 THEN 2 ELSE 3 END AS centroid,
+           least(d0, d1, d2, d3) AS dist_q
+    FROM d
+    """
+
+
+@_register(
+    "emb_assign_centroids",
+    _assign_sql(_QEMB_DUCK, _cdist_duck),
+    doc="k-means / IVF ASSIGNMENT step with an exact oracle: nearest of 4 "
+        "literal centroids by quantized (milli-unit) integer L2 — "
+        "zip_with/aggregate lambdas in Catalyst, deterministic lower-index "
+        "tiebreak; the scale path broadcasts the centroid table exactly "
+        "like operators/similarity.py IVF",
+)
+def _emb_assign_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    return spark.sql(_assign_sql(_QEMB_SPARK, _cdist_spark))
+
+
 @_register(
     "emb_hof_sumsq",
     """
