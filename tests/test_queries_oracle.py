@@ -43,3 +43,33 @@ def test_query_matches_oracle(spark, duck, name):
     dh, dn = table_hash(dcols, drows)
     assert sn == dn, f"rowcount {sn} vs {dn}"
     assert sh == dh, "value hash mismatch"
+
+
+def test_sketch_aggregates_error_bounds(spark):
+    """tile_approx_stats is rows-only in the gate (sketches are
+    engine-specific); here the sketches are bounded against exact twins:
+    HLL within 3x its default rsd (0.05), approx percentile within the
+    observed value range and near the exact median."""
+    from pyspark.sql import functions as F
+
+    from cloudtile_spark.queries import REGISTRY, docs_geo
+    from cloudtile_spark import tiles
+
+    approx = {r["x"]: r for r in
+              REGISTRY["tile_approx_stats"].spark_fn(spark, SF_DIR).collect()}
+    g = docs_geo(spark, SF_DIR)
+    t = spark.read.parquet(f"{SF_DIR}/documents.parquet").join(g, "doc_id")
+    exact = {r["x"]: r for r in (
+        t.withColumn("x", F.expr(tiles.tile_x_sql("lon", "3")))
+        .groupBy("x")
+        .agg(F.countDistinct("lang").alias("langs"),
+             F.expr("percentile(n_chars, 0.5)").alias("p50"),
+             F.min("n_chars").alias("lo"), F.max("n_chars").alias("hi"))
+        .collect())}
+    assert set(approx) == set(exact) and len(exact) > 0
+    for x, e in exact.items():
+        a = approx[x]
+        assert abs(a["approx_langs"] - e["langs"]) <= max(1, 0.15 * e["langs"])
+        assert e["lo"] <= a["p50_chars"] <= e["hi"]
+        # default accuracy 10000 -> exact-ish on these group sizes
+        assert abs(a["p50_chars"] - e["p50"]) <= max(2.0, 0.05 * e["p50"])
