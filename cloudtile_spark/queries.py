@@ -918,6 +918,28 @@ _shared_sql(
 )
 
 
+_shared_sql(
+    "weighted_sample_quality",
+    f"""
+    WITH w AS (
+      SELECT doc_id, lang,
+             cast(least(n_chars, 400) as double)
+               / cast(400 as double) AS keep_p
+      FROM documents),
+    kept AS (SELECT doc_id, lang, keep_p FROM w
+             WHERE {_u_sql('doc_id', 33)} < keep_p)
+    SELECT lang, count(*) AS n_kept,
+           min(doc_id) AS min_fid, max(doc_id) AS max_fid
+    FROM kept GROUP BY lang
+    """,
+    doc="per-ROW weighted sampling (keep probability proportional to a "
+        "quality weight, here length-capped): the quality-weighted corpus "
+        "downsampling shape — deterministic integer-arithmetic uniform, "
+        "reproducible at any parallelism, no rand(); complements the "
+        "per-STRATUM rates of stratified_sample",
+)
+
+
 def _reservoir_sql(hash60: str, cast_str: str) -> str:
     """Deterministic k=100 reservoir: ORDER BY hash-priority LIMIT k.
     Spark plans this as TakeOrderedAndProject — per-partition partial
