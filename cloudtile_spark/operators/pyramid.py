@@ -237,10 +237,13 @@ def build_pyramid(
         )
     lo = settings["minimum-zoom"]
     hi = settings["maximum-zoom"]
+    # Reproject BEFORE the zoom guess: with projection=EPSG:3857 the raw
+    # coords are web-mercator meters, which the density heuristic would
+    # otherwise misread as degrees (ADVICE r3).
+    features = project_to_4326(features, settings)
     if hi == "g":
         hi = guess_max_zoom(features, settings["maximum-tile-features"])
     cap = settings["maximum-tile-features"]
-    features = project_to_4326(features, settings)
     df = assign_xy(explode_zooms(features, lo, hi))
     return capped_tile_summary(df, cap, with_ids=with_ids)
 

@@ -48,9 +48,14 @@ def asof_join(
     the right-side payload columns to carry (emitted as `<col><suffix>`);
     the matched right timestamp is always emitted as `<on><suffix>` in
     epoch microseconds BIGINT (engine-stable). `tiebreak` orders right
-    rows sharing an `on` value (largest wins); must exist in `right`.
-    `tolerance_us` NULLs out matches further than that many microseconds
-    from the left row.
+    rows sharing an `on` value (largest wins, in BOTH directions); must
+    exist in `right`. `tolerance_us` NULLs out matches further than that
+    many microseconds from the left row.
+
+    All carried columns come from the SAME matched right row: the window
+    carries one struct built only on right rows, so a right row whose
+    payload value is genuinely NULL still supersedes an earlier non-NULL
+    one (the struct is non-NULL even when its fields are NULL).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward: {direction}")
@@ -71,7 +76,9 @@ def asof_join(
         *[F.col(k) for k in by_keys],
         (t_us * sign).alias("_t"),
         F.lit(0).alias("_src"),
-        (tb * sign).alias("_tb"),
+        # _tb stays UNSIGNED: only the time axis flips for direction=
+        # "forward", so "largest tiebreak wins" holds in both directions.
+        tb.alias("_tb"),
         t_us.alias("_match_t"),
         *[F.col(c).alias(f"_p_{c}") for c in right_cols],
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}")
@@ -92,13 +99,23 @@ def asof_join(
     w = (Window.partitionBy(*by_keys)
          .orderBy(F.col("_t").asc(), F.col("_src").asc(), F.col("_tb").asc())
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # One struct carried per right row (NULL on left rows so ignorenulls
+    # skips them) — every projected field comes from the same right row.
+    state = F.when(F.col("_src") == 0, F.struct(
+        F.col("_match_t").alias("_match_t"),
+        *[F.col(f"_p_{c}").alias(c) for c in right_cols],
+    ))
     u = u.select(
         *by_keys, "_t", "_src",
-        F.last("_match_t", ignorenulls=True).over(w).alias(f"{on}{suffix}"),
-        *[F.last(f"_p_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-          for c in right_cols],
+        F.last(state, ignorenulls=True).over(w).alias("_st"),
         *[f"_l_{c}" for c in left_payload],
     ).where(F.col("_src") == 1)
+    u = u.select(
+        *by_keys, "_t", "_src",
+        F.col("_st._match_t").alias(f"{on}{suffix}"),
+        *[F.col(f"_st.{c}").alias(f"{c}{suffix}") for c in right_cols],
+        *[f"_l_{c}" for c in left_payload],
+    )
 
     if tolerance_us is not None:
         gap = (F.col("_t") * sign - F.col(f"{on}{suffix}") if sign == 1

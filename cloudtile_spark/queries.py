@@ -1222,10 +1222,9 @@ def _init_dedup_queries() -> None:
             dd.minhash_band_rows_sql(dd.SPARK, dd.PLANTED_CORPUS_CTE))
         shs = spark.sql(
             dd.minhash_shingles_sql(dd.SPARK, dd.PLANTED_CORPUS_CTE))
-        caching.stage(b, "lsh_b")
-        caching.stage(shs, "lsh_shs")
-        return spark.sql(
-            dd.minhash_verify_sql(dd.SPARK, "lsh_b", "lsh_shs"))
+        vb = caching.stage_view(b, "lsh_b")
+        vs = caching.stage_view(shs, "lsh_shs")
+        return spark.sql(dd.minhash_verify_sql(dd.SPARK, vb, vs))
 
     REGISTRY["dedup_minhash_lsh"] = Query(
         "dedup_minhash_lsh", minhash_fn, duck_sql,
@@ -1238,11 +1237,11 @@ def _init_dedup_queries() -> None:
     # once on the Spark side; oracle keeps the single statement
     def simhash_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_views(spark, sf_dir)
-        caching.stage(
+        vb = caching.stage_view(
             spark.sql(dd.simhash_band_rows_sql(dd.SPARK,
                                                dd.PLANTED_CORPUS_CTE)),
             "sim_b")
-        return spark.sql(dd.simhash_verify_sql(dd.SPARK, "sim_b"))
+        return spark.sql(dd.simhash_verify_sql(dd.SPARK, vb))
 
     REGISTRY["dedup_simhash"] = Query(
         "dedup_simhash", simhash_fn,
@@ -1254,14 +1253,14 @@ def _init_dedup_queries() -> None:
 
     def ngram_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_views(spark, sf_dir)
-        caching.stage(
+        vs = caching.stage_view(
             spark.sql(dd.ngram_shingles_sql(dd.SPARK,
                                             dd.PLANTED_CORPUS_CTE)),
             "ng_shs")
-        caching.stage(
-            spark.sql("SELECT doc_id, explode(sh) AS s FROM ng_shs"),
+        vi = caching.stage_view(
+            spark.sql(f"SELECT doc_id, explode(sh) AS s FROM {vs}"),
             "ng_inv")
-        return spark.sql(dd.ngram_verify_sql(dd.SPARK, "ng_shs", "ng_inv"))
+        return spark.sql(dd.ngram_verify_sql(dd.SPARK, vs, vi))
 
     REGISTRY["dedup_ngram_jaccard"] = Query(
         "dedup_ngram_jaccard", ngram_fn,
@@ -1304,15 +1303,15 @@ def _init_dedup_queries() -> None:
         from .operators.graph import connected_components
 
         load_views(spark, sf_dir)
-        caching.stage(
+        vb = caching.stage_view(
             spark.sql(dd.minhash_band_rows_sql(dd.SPARK,
                                                dd.PLANTED_CORPUS_CTE)),
             "cc_b")
-        caching.stage(
+        vs = caching.stage_view(
             spark.sql(dd.minhash_shingles_sql(dd.SPARK,
                                               dd.PLANTED_CORPUS_CTE)),
             "cc_shs")
-        pairs = spark.sql(dd.minhash_verify_sql(dd.SPARK, "cc_b", "cc_shs"))
+        pairs = spark.sql(dd.minhash_verify_sql(dd.SPARK, vb, vs))
         cc = connected_components(pairs, "doc_a", "doc_b")
         w = Window.partitionBy("component")
         return cc.select(
@@ -1609,12 +1608,11 @@ def _init_ann_lsh() -> None:
     # per vector) persists once instead of recomputing per reference
     duck_sql = ann_lsh_topk_sql("duck")
     stage_sql = ann_lsh_bucket_table_sql("spark")
-    body_sql = "WITH " + ann_lsh_rerank_body_sql("spark", "lsh_t")
 
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_views(spark, sf_dir)
-        caching.stage(spark.sql(stage_sql), "lsh_t")
-        return spark.sql(body_sql)
+        vt = caching.stage_view(spark.sql(stage_sql), "lsh_t")
+        return spark.sql("WITH " + ann_lsh_rerank_body_sql("spark", vt))
 
     REGISTRY["ann_lsh_topk"] = Query(
         "ann_lsh_topk", fn, duck_sql,
@@ -2498,18 +2496,16 @@ def _init_embedding_neardup() -> None:
         f"{dot_pair('a.embedding', 'b.embedding', 'spark')} / "
         f"({norm('a.embedding', 'spark')} * {norm('b.embedding', 'spark')})"
     )
-    verify_sql = f"""
-        WITH cand AS (
-          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {sim_spark} AS sim
-          FROM emb_t a JOIN emb_t b
-            ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-        SELECT vec_a, vec_b FROM cand WHERE sim >= 0.999
-    """
-
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_views(spark, sf_dir)
-        caching.stage(spark.sql(stage_sql), "emb_t")
-        return spark.sql(verify_sql)
+        vt = caching.stage_view(spark.sql(stage_sql), "emb_t")
+        return spark.sql(f"""
+            WITH cand AS (
+              SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {sim_spark} AS sim
+              FROM {vt} a JOIN {vt} b
+                ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+            SELECT vec_a, vec_b FROM cand WHERE sim >= 0.999
+        """)
 
     REGISTRY["dedup_embedding_cosine"] = Query(
         "dedup_embedding_cosine", fn, duck_sql,

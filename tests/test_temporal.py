@@ -58,10 +58,33 @@ def test_asof_forward_semantics(spark):
                     right_cols=("event_id",), tiebreak="event_id",
                     direction="forward")
     # forward = nearest right row at-or-after; tie at equal ts -> the
-    # SMALLEST tiebreak is nearest-last in the negated ordering? No:
-    # negation makes larger (-tb) sort earlier, so the carried last() is
-    # the smallest event_id among equal-ts rows.
-    assert _collect(out) == {100: 11, 101: 11, 102: None, 200: 20, 300: None}
+    # LARGEST tiebreak wins, same contract as backward (only the time
+    # axis is negated, the tiebreak stays unsigned).
+    assert _collect(out) == {100: 12, 101: 12, 102: None, 200: 20, 300: None}
+
+
+def test_asof_null_payload_supersedes(spark):
+    """A later right row with a NULL payload must supersede an earlier
+    non-NULL one, and all carried columns must come from the SAME right
+    row (struct-carry regression: per-column last(ignorenulls) used to
+    mix ts_r from one row with value_r from another)."""
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T00:01:00"), 5.0, "a"),
+         (1, _ts("2024-01-01T00:02:00"), None, None)],
+        "user_id long, ts timestamp, value double, tag string",
+    )
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T00:03:00"), 100)],
+        "user_id long, ts timestamp, event_id long",
+    )
+    out = asof_join(left, right, on="ts", by="user_id",
+                    right_cols=("value", "tag"))
+    row = out.collect()[0]
+    us = int(_ts("2024-01-01T00:02:00")
+             .replace(tzinfo=dt.timezone.utc).timestamp() * 1e6)
+    assert row["ts_r"] == us          # matched the t=2 row...
+    assert row["value_r"] is None     # ...and carried ITS null payload
+    assert row["tag_r"] is None
 
 
 def test_asof_tolerance_nulls_stale_matches(spark):
