@@ -156,34 +156,72 @@ def winnow_fingerprints_sql(d: Dialect, k: int = 3, w: int = 4) -> str:
     """
 
 
-def minhash_band_rows_sql(d: Dialect, corpus_cte: str, k: int = 3) -> str:
-    """Stage 1 of the LSH pipeline as a standalone statement:
-    (doc_id, band, key) — one row per (doc, band). The EXPENSIVE stage
-    (shingle hashing + 16 minhash perms); materialize/persist it once on
-    the Spark side, since CTE inlining would recompute it per reference."""
+def minhash_hashed_sql(d: Dialect, corpus_cte: str, k: int = 3) -> str:
+    """Stage 0 of the staged LSH pipeline: (doc_id, hashes) — the shingle
+    hash array per doc. This is the ONE expensive text pass (tokenize +
+    k-gram slice + md5 per shingle); persist it and derive both the band
+    rows and the verification shingle sets from it, so the text is
+    shingled exactly once per pipeline run (round-3 bench finding: the
+    band stage and the shingle-set stage each re-ran the pass)."""
+    return (f"WITH {corpus_cte} SELECT doc_id, "
+            f"{d.shingle_hashes('text', k)} AS hashes FROM corpus")
+
+
+def _band_rows_body(d: Dialect, hashed_rel: str) -> str:
+    # 16 separate array_min(transform(...)) expressions. Measured
+    # alternative (r4): ONE nested lambda over a literal (a, b) struct
+    # array — 8x SLOWER warm (33s vs 4s at sf0.1): nested HOF lambdas
+    # fall back to interpreted eval with per-element variable binding.
+    # The flat form stays and cold-run codegen cost is accepted.
     sigc = d.minhash_sig_cols("hashes")
     bands = d.band_keys(sigc)
     key_case = ("CASE v.band " + " ".join(
         f"WHEN {i} THEN bk{i}" for i in range(BANDS)) + " END")
     return f"""
-    WITH {corpus_cte},
-    hashed AS (
-      SELECT doc_id, {d.shingle_hashes('text', k)} AS hashes FROM corpus),
     sigs AS (
       SELECT doc_id,
              {', '.join(f'{b} AS bk{i}' for i, b in enumerate(bands))}
-      FROM hashed)
+      FROM {hashed_rel})
     SELECT doc_id, v.band AS band, {key_case} AS key FROM sigs
     CROSS JOIN (VALUES {', '.join(f'({i})' for i in range(BANDS))})
     AS v(band)
     """
 
 
+def minhash_band_rows_from_hashed_sql(d: Dialect, hashed_tbl: str) -> str:
+    """Stage 1 from a materialized stage-0 table: 16 minhash perms + band
+    keys -> (doc_id, band, key), one row per (doc, band)."""
+    return "WITH " + _band_rows_body(d, hashed_tbl)
+
+
+def minhash_band_rows_sql(d: Dialect, corpus_cte: str, k: int = 3) -> str:
+    """Stage 0+1 fused as a standalone statement (streaming index build
+    and other single-consumer callers that don't stage)."""
+    return f"""
+    WITH {corpus_cte},
+    hashed AS (
+      SELECT doc_id, {d.shingle_hashes('text', k)} AS hashes FROM corpus),
+    {_band_rows_body(d, 'hashed')}
+    """
+
+
+def minhash_shingles_from_hashed_sql(d: Dialect, hashed_tbl: str) -> str:
+    """Stage 2 from a materialized stage-0 table: (doc_id, sh) distinct
+    HASHED shingle sets for exact verification. Jaccard over 60-bit
+    shingle hashes equals Jaccard over the raw shingle strings up to md5
+    collisions (~0 at 2^60), and both engines compute the identical hash,
+    so the oracle runs the same algorithm; bigint-array intersects beat
+    string-array intersects and the persisted stage is far smaller."""
+    return (f"SELECT doc_id, {d.distinct.format(l='hashes')} AS sh "
+            f"FROM {hashed_tbl}")
+
+
 def minhash_shingles_sql(d: Dialect, corpus_cte: str, k: int = 3) -> str:
-    """Stage 2: (doc_id, sh) distinct shingle sets for exact verification."""
-    sh_distinct = d.distinct.format(l=d.shingles("text", k))
-    return (f"WITH {corpus_cte} "
-            f"SELECT doc_id, {sh_distinct} AS sh FROM corpus")
+    """Stage 0+2 fused: distinct hashed-shingle sets straight from text."""
+    return (f"WITH {corpus_cte}, hashed AS (SELECT doc_id, "
+            f"{d.shingle_hashes('text', k)} AS hashes FROM corpus) "
+            f"SELECT doc_id, {d.distinct.format(l='hashes')} AS sh "
+            f"FROM hashed")
 
 
 def minhash_verify_sql(d: Dialect, b_tbl: str, shs_tbl: str,
@@ -238,8 +276,10 @@ def minhash_lsh_pairs_sql(d: Dialect, corpus_cte: str,
         f"CROSS JOIN (VALUES {', '.join(f'({i})' for i in range(BANDS))}) "
         f"AS v(band)"
     )
-    sh_distinct = d.distinct.format(l=d.shingles("text", k))
     inter = d.intersect.format(a="sa.sh", b="sb.sh")
+    # verification runs on HASHED shingle sets (same 60-bit hash in both
+    # dialects — see minhash_shingles_from_hashed_sql), so `hashed` is the
+    # only text pass in the whole statement.
     return f"""
     WITH {corpus_cte},
     hashed AS (
@@ -257,7 +297,8 @@ def minhash_lsh_pairs_sql(d: Dialect, corpus_cte: str,
       FROM b x JOIN sized s ON x.band = s.band AND x.key = s.key
       JOIN b y ON y.band = s.band AND y.key = s.key AND x.doc_id < y.doc_id
       GROUP BY x.doc_id, y.doc_id),
-    shs AS (SELECT doc_id, {sh_distinct} AS sh FROM corpus),
+    shs AS (SELECT doc_id, {d.distinct.format(l='hashes')} AS sh
+            FROM hashed),
     scored AS (
       SELECT c.doc_a, c.doc_b,
              cast({d.size.format(l=inter)} as double)

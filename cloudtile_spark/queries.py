@@ -1218,12 +1218,18 @@ def _init_dedup_queries() -> None:
 
     def minhash_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_views(spark, sf_dir)
-        b = spark.sql(
-            dd.minhash_band_rows_sql(dd.SPARK, dd.PLANTED_CORPUS_CTE))
-        shs = spark.sql(
-            dd.minhash_shingles_sql(dd.SPARK, dd.PLANTED_CORPUS_CTE))
-        vb = caching.stage_view(b, "lsh_b")
-        vs = caching.stage_view(shs, "lsh_shs")
+        # the shingle+md5 text pass runs ONCE (staged stage-0); band rows
+        # and verification shingle sets both derive from it
+        vh = caching.stage_view(
+            spark.sql(dd.minhash_hashed_sql(dd.SPARK,
+                                            dd.PLANTED_CORPUS_CTE)),
+            "lsh_h")
+        vb = caching.stage_view(
+            spark.sql(dd.minhash_band_rows_from_hashed_sql(dd.SPARK, vh)),
+            "lsh_b")
+        vs = caching.stage_view(
+            spark.sql(dd.minhash_shingles_from_hashed_sql(dd.SPARK, vh)),
+            "lsh_shs")
         return spark.sql(dd.minhash_verify_sql(dd.SPARK, vb, vs))
 
     REGISTRY["dedup_minhash_lsh"] = Query(
@@ -1303,13 +1309,15 @@ def _init_dedup_queries() -> None:
         from .operators.graph import connected_components
 
         load_views(spark, sf_dir)
+        vh = caching.stage_view(
+            spark.sql(dd.minhash_hashed_sql(dd.SPARK,
+                                            dd.PLANTED_CORPUS_CTE)),
+            "cc_h")
         vb = caching.stage_view(
-            spark.sql(dd.minhash_band_rows_sql(dd.SPARK,
-                                               dd.PLANTED_CORPUS_CTE)),
+            spark.sql(dd.minhash_band_rows_from_hashed_sql(dd.SPARK, vh)),
             "cc_b")
         vs = caching.stage_view(
-            spark.sql(dd.minhash_shingles_sql(dd.SPARK,
-                                              dd.PLANTED_CORPUS_CTE)),
+            spark.sql(dd.minhash_shingles_from_hashed_sql(dd.SPARK, vh)),
             "cc_shs")
         pairs = spark.sql(dd.minhash_verify_sql(dd.SPARK, vb, vs))
         cc = connected_components(pairs, "doc_a", "doc_b")
