@@ -297,6 +297,48 @@ def clip_ring_to_rect(
     return pts
 
 
+def clip_ring_to_convex(ring: np.ndarray, clip_ring: np.ndarray) -> np.ndarray:
+    """Sutherland-Hodgman clip of an ARBITRARY (possibly non-convex)
+    subject ring against a CONVEX clipper ring — the polygon-general
+    overlay kernel (generalizes :func:`clip_ring_to_rect`, whose four
+    axis-aligned half-planes are the rect special case).
+
+    The clipper is normalized to CCW internally. The output ring may
+    contain coincident "bridge" edges for non-convex subjects, but its
+    shoelace area is still the EXACT intersection area (bridges cancel in
+    the signed sum) — which is all the overlay area join consumes.
+    Returns an (n, 2) array, possibly empty.
+    """
+    pts = np.asarray(ring, dtype=np.float64)
+    if len(pts) and np.array_equal(pts[0], pts[-1]):
+        pts = pts[:-1]
+    clip = np.asarray(clip_ring, dtype=np.float64)
+    if len(clip) and np.array_equal(clip[0], clip[-1]):
+        clip = clip[:-1]
+    if shoelace_area(np.vstack([clip, clip[:1]])) < 0:
+        clip = clip[::-1]
+
+    for i in range(len(clip)):
+        a, b = clip[i], clip[(i + 1) % len(clip)]
+        ex, ey = b[0] - a[0], b[1] - a[1]
+        if len(pts) == 0:
+            break
+        # signed distance to the (a, b) half-plane, vectorized per pass
+        d = ex * (pts[:, 1] - a[1]) - ey * (pts[:, 0] - a[0])
+        out = []
+        for j in range(len(pts)):
+            k = (j - 1) % len(pts)
+            cur, prev = pts[j], pts[k]
+            cur_in, prev_in = d[j] >= 0.0, d[k] >= 0.0
+            if cur_in != prev_in:
+                t = d[k] / (d[k] - d[j])
+                out.append(prev + t * (cur - prev))
+            if cur_in:
+                out.append(cur)
+        pts = np.asarray(out, dtype=np.float64).reshape(-1, 2)
+    return pts
+
+
 def clip_line_to_rect(
     coords: np.ndarray, xmin: float, ymin: float, xmax: float, ymax: float
 ) -> list[np.ndarray]:

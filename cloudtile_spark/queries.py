@@ -655,9 +655,101 @@ _shared_sql(
     doc="vector OVERLAY join (intersection AREA per feature x zone pair): "
         "bbox range join + exact rect-intersection area, micro-degree^2 "
         "integer units so the sum is fold-order-free; the polygon-general "
-        "path runs the same shape with the Arrow clip kernel "
-        "(geom.clip_ring_to_rect, NumPy-parity tested)",
+        "path is zone_overlap_area_poly (Sutherland-Hodgman convex clip)",
 )
+
+
+_STAR_N = 8  # 8-point star = 16 vertices, non-convex subject polygons
+
+
+def _star_ring(doc_id: int, lon: float, lat: float):
+    """Deterministic non-convex star polygon around a document's point
+    (open CCW ring). Parameters derive from doc_id only, so the ring can
+    be rebuilt identically on any executor without shipping vertices."""
+    import numpy as np
+
+    r_out = 1.2 + (doc_id % 7) * 0.1
+    r_in = 0.45 + (doc_id % 5) * 0.06
+    phase = (doc_id % 12) * (np.pi / 12.0)
+    k = np.arange(2 * _STAR_N, dtype=np.float64)
+    ang = phase + k * (np.pi / _STAR_N)
+    rad = np.where(k.astype(np.int64) % 2 == 0, r_out, r_in)
+    return np.stack(
+        [lon + rad * np.cos(ang), lat + rad * np.sin(ang)], axis=1)
+
+
+def _pentagon_ring(zone_id: int, cx: float, cy: float):
+    """Deterministic CONVEX pentagon zone (open CCW ring); radius and
+    rotation vary by zone_id."""
+    import numpy as np
+
+    r = 9.0 + (zone_id % 5) * 1.5
+    ang = (np.pi / 2.0 + zone_id * 0.3
+           + np.arange(5, dtype=np.float64) * (2.0 * np.pi / 5.0))
+    return np.stack(
+        [cx + r * np.cos(ang), cy + r * np.sin(ang)], axis=1)
+
+
+@_register(
+    "zone_overlap_area_poly",
+    None,  # golden-fixture oracle attached below + NumPy parity pytest
+    doc="polygon-GENERAL overlay area join (closes the r3 rect-only gap; "
+        "reference semantics anchor: tippecanoe's clip family, "
+        "tippecanoe.yaml:81-84): non-convex star features x convex "
+        "pentagon zones, bbox-prefiltered broadcast join, per-pair exact "
+        "Sutherland-Hodgman intersection area (geom.clip_ring_to_convex, "
+        "Arrow-batched kernel rebuilding rings from ids — no vertex "
+        "shuffle), micro-deg^2 integer areas so sums are fold-order-free. "
+        "100 TB shape: candidates via the same bbox equi/range join as "
+        "pip_join (shuffle variant available for a huge zone side), "
+        "kernel is map-side per pair, aggregate is a hash-agg",
+)
+def _zone_overlap_area_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    g = docs_geo(spark, sf_dir).selectExpr(
+        "doc_id", "lon", "lat",
+        "cast(1.2 + cast(doc_id % 7 as double) * 0.1 as double) AS r_out",
+    )
+    zones = spark.sql(
+        f"WITH z AS ({_zone_sql()}) "
+        "SELECT zone_id, cast((xmin + xmax) / 2.0 as double) AS cx, "
+        "cast((ymin + ymax) / 2.0 as double) AS cy, "
+        "cast(9.0 + cast(zone_id % 5 as double) * 1.5 as double) AS zr FROM z"
+    )
+    cand = g.join(
+        F.broadcast(zones),
+        (F.col("lon") - F.col("r_out") < F.col("cx") + F.col("zr"))
+        & (F.col("lon") + F.col("r_out") > F.col("cx") - F.col("zr"))
+        & (F.col("lat") - F.col("r_out") < F.col("cy") + F.col("zr"))
+        & (F.col("lat") + F.col("r_out") > F.col("cy") - F.col("zr")),
+    ).select("zone_id", "doc_id", "lon", "lat", "cx", "cy")
+
+    def area_kernel(batches):
+        for pdf in batches:
+            out = np.empty(len(pdf), dtype=np.int64)
+            for i, r in enumerate(pdf.itertuples(index=False)):
+                star = _star_ring(int(r.doc_id), float(r.lon),
+                                  float(r.lat))
+                pent = _pentagon_ring(int(r.zone_id), float(r.cx),
+                                      float(r.cy))
+                clipped = geom.clip_ring_to_convex(star, pent)
+                a = (abs(geom.shoelace_area(clipped))
+                     if len(clipped) >= 3 else 0.0)
+                out[i] = int(np.floor(a * 1e6))
+            yield pd.DataFrame({"zone_id": pdf.zone_id,
+                                "doc_id": pdf.doc_id, "area_u": out})
+
+    pairs = cand.mapInPandas(
+        area_kernel, schema="zone_id long, doc_id long, area_u long")
+    return (
+        pairs.where(F.col("area_u") > 0)
+        .groupBy("zone_id")
+        .agg(F.count(F.lit(1)).alias("n_overlaps"),
+             F.sum("area_u").cast("bigint").alias("total_area_u"),
+             F.min("doc_id").alias("min_fid"))
+    )
 
 
 @_register(

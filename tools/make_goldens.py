@@ -21,7 +21,8 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 GOLDEN_QUERIES = ["pages_extract", "mvt_tiles", "raster_zone_fill",
-                  "raster_zonal_stats", "geom_mvt_tiles"]
+                  "raster_zonal_stats", "geom_mvt_tiles",
+                  "zone_overlap_area_poly"]
 
 HEADER = '''"""AUTO-GENERATED golden-fixture oracles (tools/make_goldens.py).
 
