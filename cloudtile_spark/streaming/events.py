@@ -47,6 +47,32 @@ def hourly_counts(stream: DataFrame) -> DataFrame:
     )
 
 
+def session_windows_stream(stream: DataFrame,
+                           gap: str = "30 minutes",
+                           watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of the oracle-checked `events_session_window` batch
+    query: native ``F.session_window`` (the whole point of the built-in —
+    the same operator serves batch and stream), watermark-bounded state.
+    In append mode only sessions finalized by the watermark emit (a
+    session closes once the watermark passes its end); in complete mode
+    the sink holds every session, matching batch exactly. Output schema
+    matches the batch query: (user_id, session_start_us, session_end_us,
+    n_events), integer micros."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start"))
+            .alias("session_start_us"),
+            F.unix_micros(F.col("session_window.end"))
+            .alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
 def dedup_stream(stream: DataFrame) -> DataFrame:
     """Exactly-once-per-event_id within the watermark horizon."""
     return stream.withWatermark("ts", "2 hours") \

@@ -306,3 +306,42 @@ def test_streaming_asof_enrich_equals_batch(spark, tmp_path_factory):
     }
     assert len(got) == len(expect) > 0
     assert got == expect
+
+
+def test_streaming_session_window_equals_batch(spark, events_stream_dir):
+    """Native session_window serves batch AND stream (VERDICT r3 Missing
+    #3): complete-mode sink == the oracle-green batch query exactly; an
+    append-mode run emits exactly the watermark-finalized subset."""
+    from cloudtile_spark.queries import REGISTRY
+    from cloudtile_spark.streaming import events as st
+
+    stream = st.read_events_stream(spark, events_stream_dir)
+    st.run_to_memory(st.session_windows_stream(stream), "sessions_c",
+                     mode="complete")
+    got = {(r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+           for r in spark.table("sessions_c").collect()}
+
+    batch = REGISTRY["events_session_window"].spark_fn(spark, SF_DIR)
+    want = {(r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+            for r in batch.collect()}
+    assert got == want and got
+
+    # append mode: emitted sessions are final (closed before the last
+    # watermark) and every emitted row matches a batch session
+    stream2 = st.read_events_stream(spark, events_stream_dir)
+    st.run_to_memory(st.session_windows_stream(stream2), "sessions_a",
+                     mode="append")
+    emitted = {(r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+               for r in spark.table("sessions_a").collect()}
+    assert emitted <= want
+    # the finalized subset is exactly the batch sessions whose end is at
+    # or before the terminal watermark (max event ts - 2h delay)
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    max_ts = spark.read.parquet(events_stream_dir) \
+        .agg(F.max(F.unix_micros(F.col("ts").cast("timestamp")))) \
+        .collect()[0][0]
+    wm_us = max_ts - 2 * 3600 * 1_000_000
+    final = {s for s in want if s[2] <= wm_us}
+    assert emitted == final
