@@ -225,64 +225,162 @@ def kmeans_embeddings(embeddings, k: int = 8, iters: int = 5):
     - centroids are a k x dim NumPy array on the DRIVER (tiny), shipped to
       executors inside the Arrow-batched assignment UDF's closure (the
       broadcast pattern);
-    - each iteration is ONE distributed job: vectorized argmin assignment
-      (mapInPandas, no per-row Python) + per-dimension mean aggregation
-      (64 avg() columns, map-side combinable) + a k-row collect;
+    - each iteration is ONE map-side job with NO shuffle at all: the
+      assignment UDF already holds both the embedding and its cid, so it
+      emits per-PARTITION partial sums (cid, count, sse, per-dim sums) —
+      k rows per Arrow batch — and the driver reduces the tiny partial
+      table (r3 verdict #2: the former embeddings-to-assignments join per
+      iteration existed only to reunite vectors with their cid);
     - deterministic up to float aggregation order: init = the k lowest
       vec_ids' vectors, L2 argmin ties break to the lowest centroid id,
-      empty clusters keep their previous centroid. Centroid means are
-      distributed double sums, so across DIFFERENT partitionings the
-      trajectory agrees only to the ulp — assignments are stable in
-      practice and inertia matches within 1e-9 relative (pinned in
-      tests); within one partitioning the run is exactly reproducible.
+      empty clusters keep their previous centroid. Partial sums are
+      doubles, so across DIFFERENT partitionings the trajectory agrees
+      only to the ulp — assignments are stable in practice and inertia
+      matches within 1e-9 relative (pinned in tests); within one
+      partitioning the run is exactly reproducible. For a bit-exact,
+      partitioning-independent trajectory use
+      :func:`kmeans_embeddings_exact`.
 
     Returns (assignments DataFrame(vec_id, cid, dist2), centroids ndarray,
     inertia_history list) — inertia is monotonically non-increasing by
     Lloyd's theorem (asserted in tests).
     """
     import numpy as np
-    import pandas as pd
-    from pyspark.sql import functions as F
 
     dim = len(embeddings.select("embedding").first()[0])
     init = (embeddings.orderBy("vec_id").limit(k)
             .select("embedding").collect())
     centroids = np.array([r.embedding for r in init], dtype=np.float64)
+    src = embeddings.select("vec_id", "embedding")
 
-    def assign_factory(cents: "np.ndarray"):
-        def assign(batches):
-            for pdf in batches:
-                m = np.stack(pdf.embedding.to_numpy()).astype(np.float64)
-                # (n, k) squared L2 distances; argmin picks the LOWEST cid
-                # on ties (np.argmin is first-occurrence)
-                d2 = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-                cid = d2.argmin(axis=1)
-                yield pd.DataFrame({
-                    "vec_id": pdf.vec_id.to_numpy(),
-                    "cid": cid.astype(np.int32),
-                    "dist2": d2[np.arange(len(cid)), cid],
-                })
-        return assign
-
-    schema = "vec_id long, cid int, dist2 double"
     history = []
     for _ in range(iters):
-        assigned = embeddings.select("vec_id", "embedding") \
-            .mapInPandas(assign_factory(centroids.copy()), schema=schema)
-        # inertia + new centroids in one aggregate job
-        stats = embeddings.select("vec_id", "embedding").join(
-            assigned.select("vec_id", "cid", "dist2"), "vec_id") \
-            .groupBy("cid").agg(
-                F.count("*").alias("n"),
-                F.sum("dist2").alias("sse"),
-                *[F.avg(F.col("embedding")[i]).alias(f"c{i}")
-                  for i in range(dim)],
-            ).collect()
-        history.append(float(sum(r.sse for r in stats)))
+        partials = src.mapInPandas(
+            _partials_factory(centroids.copy(), k, dim),
+            schema=_partials_schema(dim),
+        ).collect()
+        n, sse, sums = _reduce_partials(partials, k, dim, np.float64)
+        history.append(float(sse.sum()))
         new_c = centroids.copy()  # empty clusters keep previous position
-        for r in stats:
-            new_c[r.cid] = [r[f"c{i}"] for i in range(dim)]
+        nz = n > 0
+        new_c[nz] = sums[nz] / n[nz, None]
         centroids = new_c
-    final = embeddings.select("vec_id", "embedding").mapInPandas(
-        assign_factory(centroids.copy()), schema=schema)
+    final = src.mapInPandas(
+        _assign_factory(centroids.copy()),
+        schema="vec_id long, cid int, dist2 double")
+    return final, centroids, history
+
+
+def _assign_factory(cents):
+    """Vectorized argmin assignment (lowest cid wins ties — np.argmin is
+    first-occurrence). Works for float64 and int64 centroid spaces."""
+    import numpy as np
+    import pandas as pd
+
+    integer = cents.dtype.kind == "i"
+
+    def assign(batches):
+        for pdf in batches:
+            m = np.stack(pdf.embedding.to_numpy()).astype(np.float64)
+            if integer:
+                m = np.floor(m * 1000.0).astype(np.int64)
+            d2 = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            cid = d2.argmin(axis=1)
+            yield pd.DataFrame({
+                "vec_id": pdf.vec_id.to_numpy(),
+                "cid": cid.astype(np.int32),
+                "dist2": d2[np.arange(len(cid)), cid],
+            })
+    return assign
+
+
+def _partials_schema(dim: int) -> str:
+    return "cid int, n long, sse double, sums array<double>"
+
+
+def _partials_factory(cents, k: int, dim: int):
+    """Per-batch partial aggregation: assign, then emit one row per
+    non-empty cid with (count, sse, per-dimension sums). The executor-side
+    reduction is what removes the per-iteration shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    integer = cents.dtype.kind == "i"
+
+    def partials(batches):
+        for pdf in batches:
+            m = np.stack(pdf.embedding.to_numpy()).astype(np.float64)
+            if integer:
+                m = np.floor(m * 1000.0).astype(np.int64)
+            d2 = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            cid = d2.argmin(axis=1)
+            best = d2[np.arange(len(cid)), cid]
+            rows = []
+            for c in np.unique(cid):
+                sel = cid == c
+                rows.append((
+                    int(c), int(sel.sum()), float(best[sel].sum()),
+                    m[sel].sum(axis=0).astype(np.float64).tolist(),
+                ))
+            yield pd.DataFrame(rows, columns=["cid", "n", "sse", "sums"])
+    return partials
+
+
+def _reduce_partials(partials, k: int, dim: int, dtype):
+    import numpy as np
+
+    n = np.zeros(k, dtype=np.int64)
+    sse = np.zeros(k, dtype=np.float64)
+    sums = np.zeros((k, dim), dtype=dtype)
+    for r in partials:
+        n[r.cid] += r.n
+        sse[r.cid] += r.sse
+        sums[r.cid] += np.asarray(r.sums, dtype=dtype)
+    return n, sse, sums
+
+
+def kmeans_embeddings_exact(embeddings, k: int = 8, iters: int = 4,
+                            quant: int = 1000):
+    """Bit-exact Lloyd's k-means in QUANTIZED INTEGER space — the
+    `emb_assign_centroids` trick applied to the whole loop (r3 verdict
+    #5): components quantize once to milli-unit int64, distances and
+    per-cluster sums are integers (order-free across partitionings), and
+    the centroid update is floor(sum / n) — so every iteration, and hence
+    the final assignment, is identical for ANY partitioning and exactly
+    replayable by a straight-line SQL unrolling of the loop (the DuckDB
+    oracle of `kmeans_clusters`).
+
+    Same structure as :func:`kmeans_embeddings`: one shuffle-free
+    partial-sums job per iteration; integer sse per vector. Returns
+    (assignments DataFrame(vec_id, cid, dist2), centroids int64 ndarray,
+    inertia history list of ints).
+    """
+    import numpy as np
+
+    dim = len(embeddings.select("embedding").first()[0])
+    init = (embeddings.orderBy("vec_id").limit(k)
+            .select("embedding").collect())
+    centroids = np.floor(
+        np.array([r.embedding for r in init], dtype=np.float64) * quant
+    ).astype(np.int64)
+    assert quant == 1000, "kernel quantization is fixed at milli-units"
+    src = embeddings.select("vec_id", "embedding")
+
+    history = []
+    for _ in range(iters):
+        partials = src.mapInPandas(
+            _partials_factory(centroids.copy(), k, dim),
+            schema=_partials_schema(dim),
+        ).collect()
+        n, sse, sums = _reduce_partials(partials, k, dim, np.int64)
+        history.append(int(sse.sum()))
+        new_c = centroids.copy()
+        nz = n > 0
+        # floor(integer sum / n) via exact double division (|sum| << 2^53)
+        new_c[nz] = np.floor(
+            sums[nz].astype(np.float64) / n[nz, None]).astype(np.int64)
+        centroids = new_c
+    final = src.mapInPandas(
+        _assign_factory(centroids.copy()),
+        schema="vec_id long, cid int, dist2 long")
     return final, centroids, history

@@ -2512,22 +2512,74 @@ _shared_sql(
 )
 
 
+def _kmeans_oracle_sql(k: int = 8, iters: int = 4) -> str:
+    """Straight-line UNROLLING of the exact quantized Lloyd's loop
+    (operators/similarity.kmeans_embeddings_exact): iteration t assigns
+    against c_{t-1} (integer L2, lowest-cid tiebreak) and updates
+    c_t = floor(sum/n) per dimension (empty clusters keep c_{t-1}); the
+    final select aggregates the post-loop assignment. Verified identical
+    to an independent NumPy replay of the kernel."""
+    parts = [
+        "q AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS e "
+        "FROM embeddings)",
+        f"c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, "
+        f"e AS c FROM q ORDER BY vec_id LIMIT {k})",
+    ]
+    for t in range(1, iters + 2):
+        prev = f"c{t - 1}"
+        parts.append(f"""d{t} AS (
+          SELECT q.vec_id, {prev}.cid,
+                 cast(list_sum(list_transform(list_zip(q.e, {prev}.c),
+                      p -> (p[1]-p[2])*(p[1]-p[2]))) as bigint) AS d
+          FROM q, {prev})""")
+        parts.append(f"""a{t} AS (
+          SELECT vec_id, cid, d FROM (
+            SELECT vec_id, cid, d,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d, cid) AS rn
+            FROM d{t}) s WHERE rn = 1)""")
+        if t == iters + 1:
+            break
+        parts.append(f"""m{t} AS (
+          SELECT a.cid, x.dim,
+                 CAST(floor(CAST(sum(x.v) AS DOUBLE) / count(*)) AS BIGINT)
+                   AS cv
+          FROM (SELECT vec_id, unnest(e) AS v,
+                       unnest(range(1, len(e) + 1)) AS dim FROM q) x
+          JOIN a{t} a USING (vec_id) GROUP BY a.cid, x.dim)""")
+        parts.append(f"""c{t} AS (
+          SELECT {prev}.cid, coalesce(mm.c, {prev}.c) AS c
+          FROM {prev} LEFT JOIN (SELECT cid, list(cv ORDER BY dim) AS c
+                                 FROM m{t} GROUP BY cid) mm USING (cid))""")
+    return ("WITH " + ",\n".join(parts) +
+            f"\nSELECT cast(cid as bigint) AS cid, count(*) AS n, "
+            f"min(vec_id) AS rep_id, cast(sum(d) as bigint) AS sse_q "
+            f"FROM a{iters + 1} GROUP BY cid")
+
+
 @_register(
-    "kmeans_clusters", None,
-    doc="iterative Lloyd's k-means over the embedding corpus (driver-loop "
-        "over aggregate jobs, Arrow-batched argmin assignment) — rows-only "
-        "by construction (iterative algorithm, no single-statement oracle); "
-        "inertia monotonicity + parallelism-determinism pytest-gated",
+    "kmeans_clusters", _kmeans_oracle_sql(),
+    doc="iterative Lloyd's k-means over the embedding corpus, HASH-ORACLED "
+        "(upgraded from rows-only, r3 verdict #5): quantized milli-unit "
+        "integer space makes distances, per-cluster sums, and the "
+        "floor(sum/n) centroid update bit-reproducible across ANY "
+        "partitioning; each iteration is one shuffle-free partial-sums "
+        "job (r3 verdict #6 — the per-iteration re-join is gone); the "
+        "DuckDB oracle replays the loop as a straight-line CTE unrolling",
 )
 def _kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.similarity import kmeans_embeddings
+    from .operators.similarity import kmeans_embeddings_exact
 
     load_views(spark, sf_dir)
-    final, _, _ = kmeans_embeddings(spark.table("embeddings"), k=8, iters=4)
+    final, _, _ = kmeans_embeddings_exact(
+        spark.table("embeddings"), k=8, iters=4)
     return final.groupBy("cid").agg(
-        F.count("*").alias("n"),
+        F.count(F.lit(1)).alias("n"),
         F.min("vec_id").alias("rep_id"),
-    )
+        F.sum("dist2").cast("bigint").alias("sse_q"),
+    ).select(F.col("cid").cast("bigint").alias("cid"), "n", "rep_id",
+             "sse_q")
 
 
 @_register(

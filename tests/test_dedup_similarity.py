@@ -147,3 +147,25 @@ def test_dedup_keep_best_policy_is_not_min_id(spark):
     # singleton clusters keep their only member
     singles = [r for r in rows if r.group_n == 1]
     assert all(r.keeper_id < 1_000_000 for r in singles)
+
+
+def test_kmeans_exact_bit_reproducible_across_partitionings(spark):
+    """The quantized-integer loop must be EXACTLY identical for any
+    partitioning (integer partial sums are order-free; floor(sum/n) is
+    exact double division) — this is what upgrades kmeans_clusters from
+    rows-only to hash-oracled."""
+    from cloudtile_spark.queries import load_views
+    from cloudtile_spark.operators.similarity import kmeans_embeddings_exact
+
+    load_views(spark, SF_DIR)
+    emb = spark.table("embeddings")
+    f1, c1, h1 = kmeans_embeddings_exact(emb, k=8, iters=4)
+    f2, c2, h2 = kmeans_embeddings_exact(emb.repartition(17), k=8, iters=4)
+    assert h1 == h2 and all(isinstance(v, int) for v in h1)
+    assert (c1 == c2).all()
+    a1 = sorted((r.vec_id, r.cid, r.dist2) for r in f1.collect())
+    a2 = sorted((r.vec_id, r.cid, r.dist2) for r in f2.collect())
+    assert a1 == a2
+    # integer SSE history is monotone non-increasing up to the +/- k
+    # quantization floor wobble of the centroid update
+    assert all(a >= b - 8 for a, b in zip(h1, h1[1:])), h1
