@@ -1,9 +1,13 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-The decode libraries (PIL/ffmpeg/librosa) are NOT in this container, so the
-decode kernels are STUBS behind ``require_codecs()`` (NotImplementedError)
-with a clearly-marked deterministic fake used for tests — but the Spark-side
-plumbing is real and exercised: schema, partitioning, Arrow batch shape,
+AUDIO has a REAL decode path: a pure-stdlib PCM16 WAV parser
+(:func:`decode_wav`, RIFF chunk walker) feeding segment-RMS features —
+no codec library needed, exercised end-to-end by the hash-oracled
+`media_wav_stats` query. Image/video decode libraries (PIL/ffmpeg) are
+NOT in this container, so those kernels remain STUBS behind
+``require_codecs()`` (NotImplementedError) with a clearly-marked
+deterministic fake used for tests — the Spark-side plumbing is real and
+exercised either way: schema, partitioning, Arrow batch shape,
 ``mapInPandas`` signatures, frame-sample explode.
 
 Data model (the judge-facing contract):
@@ -15,6 +19,7 @@ Data model (the judge-facing contract):
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import numpy as np
 import pandas as pd
@@ -76,6 +81,84 @@ def _fake_features(payload: bytes) -> np.ndarray:
         .astype(np.float32) / 65536.0
 
 
+# ---------------------------------------------------------------------------
+# REAL audio decode path: pure-stdlib PCM WAV (no codec libraries needed).
+# The encoder (make_wav) and decoder (decode_wav) are independent code
+# paths — struct.pack writer vs a RIFF chunk-walking parser — so the
+# round-trip genuinely exercises a decode, and the synthetic waveform is
+# an integer function of media_id, so a SQL oracle can recompute every
+# decoded statistic without touching a WAV byte (queries.media_wav_stats).
+# ---------------------------------------------------------------------------
+
+WAV_RATE = 8000
+
+
+def wav_samples(media_id: int) -> np.ndarray:
+    """Deterministic int16 mono waveform: s(t) = (id*31 + t*t) % 65536
+    - 32768, length 800 + id % 800 — pure integer math, replayable in
+    ANSI SQL."""
+    n = 800 + media_id % 800
+    t = np.arange(n, dtype=np.int64)
+    return ((media_id * 31 + t * t) % 65536 - 32768).astype(np.int16)
+
+
+def make_wav(media_id: int) -> bytes:
+    """Minimal canonical RIFF/WAVE writer (PCM16 mono)."""
+    data = wav_samples(media_id).tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, WAV_RATE, WAV_RATE * 2, 2, 16)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> dict:
+    """REAL pure-stdlib WAV parser: walks RIFF chunks (honoring the
+    odd-length pad rule), reads the fmt chunk, and decodes PCM16 samples
+    from the data chunk. Raises ValueError on malformed input. Returns
+    {n_channels, sample_rate, bits, n_samples, samples: int16 ndarray}."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, end = 12, 8 + struct.unpack("<I", payload[4:8])[0]
+    fmt = None
+    data = None
+    while pos + 8 <= min(end, len(payload)):
+        cid = payload[pos:pos + 4]
+        size = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
+        chunk = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("fmt chunk too small")
+            fmt = struct.unpack("<HHIIHH", chunk[:16])
+        elif cid == b"data":
+            data = chunk
+        pos += 8 + size + (size & 1)  # chunks pad to even offsets
+    if fmt is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    audio_format, n_channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"unsupported WAV: format={audio_format} bits={bits}")
+    samples = np.frombuffer(data, dtype="<i2")
+    return {
+        "n_channels": int(n_channels),
+        "sample_rate": int(sample_rate),
+        "bits": int(bits),
+        "n_samples": len(samples) // n_channels,
+        "samples": samples,
+    }
+
+
+def wav_features(payload: bytes) -> np.ndarray:
+    """Real decode -> fixed-dim features: per-segment RMS over
+    _FEATURE_DIM equal slices, normalized to [0, 1] float32 (same shape
+    contract as the fake kernel)."""
+    s = decode_wav(payload)["samples"].astype(np.float64)
+    segs = np.array_split(s, _FEATURE_DIM)
+    rms = np.array([np.sqrt((seg * seg).mean()) if len(seg) else 0.0
+                    for seg in segs])
+    return (rms / 32768.0).astype(np.float32)
+
+
 FEATURES_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
     T.StructField("kind", T.StringType()),
@@ -86,8 +169,15 @@ FEATURES_SCHEMA = T.StructType([
 
 def extract_media_features(media: DataFrame) -> DataFrame:
     """mapInPandas feature extraction: Arrow batches of binary payloads ->
-    fixed-dim float arrays. Swap ``_fake_features`` for a real decoder when
-    codecs exist (require_codecs guards the real path)."""
+    fixed-dim float arrays. RIFF/WAVE audio payloads take the REAL decode
+    path (pure-stdlib parser + segment-RMS features); image/video remain
+    the deterministic fake until codec libraries exist (require_codecs
+    guards a full real path)."""
+
+    def one(b: bytes) -> list:
+        if b[:4] == b"RIFF":
+            return wav_features(b).tolist()
+        return _fake_features(b).tolist()
 
     def run(batches):
         for pdf in batches:
@@ -95,9 +185,7 @@ def extract_media_features(media: DataFrame) -> DataFrame:
                 "media_id": pdf.media_id,
                 "kind": pdf.kind,
                 "n_bytes": pdf.payload.map(len),
-                "features": pdf.payload.map(
-                    lambda b: _fake_features(bytes(b)).tolist()
-                ),
+                "features": pdf.payload.map(lambda b: one(bytes(b))),
             })
 
     return media.mapInPandas(run, schema=FEATURES_SCHEMA)

@@ -345,3 +345,66 @@ def test_streaming_session_window_equals_batch(spark, events_stream_dir):
     wm_us = max_ts - 2 * 3600 * 1_000_000
     final = {s for s in want if s[2] <= wm_us}
     assert emitted == final
+
+
+def test_wav_decode_roundtrip_and_malformed():
+    """The real audio decode path: writer and parser are independent code
+    paths; the parser must recover the exact samples, walk extra chunks
+    with odd-length padding, and reject malformed payloads."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from cloudtile_spark.operators.multimodal import (
+        decode_wav, make_wav, wav_features, wav_samples, _FEATURE_DIM,
+    )
+
+    for mid in (0, 1, 7, 799, 800, 12345):
+        d = decode_wav(make_wav(mid))
+        assert (d["n_channels"], d["sample_rate"], d["bits"]) == (1, 8000, 16)
+        assert np.array_equal(d["samples"], wav_samples(mid))
+
+    # an unknown ODD-sized chunk before data: pad rule must be honored
+    data = wav_samples(3).tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = (b"WAVE"
+            + b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # pad
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert np.array_equal(decode_wav(wav)["samples"], wav_samples(3))
+
+    with pytest.raises(ValueError):
+        decode_wav(b"NOTRIFFATALL0000")
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFF" + struct.pack("<I", 4) + b"WAVE")  # no chunks
+    # 8-bit PCM is unsupported -> loud error, not silent garbage
+    fmt8 = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    body8 = (b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt8
+             + b"data" + struct.pack("<I", 2) + b"ab")
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFF" + struct.pack("<I", len(body8)) + body8)
+
+    f = wav_features(make_wav(42))
+    assert f.shape == (_FEATURE_DIM,) and (f >= 0).all() and (f <= 1).all()
+
+
+def test_extract_media_features_real_wav_branch(spark):
+    """extract_media_features routes RIFF payloads through the REAL
+    decoder (features = segment RMS), everything else through the fake."""
+    import numpy as np
+
+    from cloudtile_spark.operators import multimodal as mm
+
+    rows = [(1, "audio", bytearray(mm.make_wav(1)), None),
+            (2, "image", bytearray(b"not-audio-bytes"), None)]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, meta string")
+    out = {r.media_id: r for r in
+           mm.extract_media_features(media).collect()}
+    want_audio = mm.wav_features(mm.make_wav(1))
+    assert np.allclose(out[1].features, want_audio, atol=1e-7)
+    want_fake = mm._fake_features(b"not-audio-bytes")
+    assert np.allclose(out[2].features, want_fake, atol=1e-7)
+    assert out[1].n_bytes == len(mm.make_wav(1))
