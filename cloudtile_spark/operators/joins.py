@@ -337,6 +337,14 @@ def knn_join_adaptive(
     Cost profile: 2 scans of the point side (counts + candidates join) plus
     a fallback scan; no driver-side collect; all joins against the (small)
     query side are broadcast.
+
+    SIZE CONTRACT — the QUERY side must be broadcastable (same contract
+    as pip_join's zone side): the query ring-cell table is shipped to
+    every executor, so this variant assumes queries fit in executor
+    memory (up to ~10^6-10^7 rows; the POINT side is unbounded). For a
+    100 TB query side use :func:`knn_join_shuffle`, the no-broadcast
+    equi-join formulation with identical output — bench.py headlines
+    BOTH so the trade is measured, not assumed.
     """
     spark = points.sparkSession
     offsets = [(dx, dy) for dx in range(-ring, ring + 1)
