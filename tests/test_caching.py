@@ -17,7 +17,7 @@ def test_staged_query_releases_on_next_entry(spark):
     # a staged query persists its expensive stage(s)...
     REGISTRY["dedup_minhash_lsh"].spark_fn(spark, SF_DIR).count()
     assert not _cache_empty(spark)
-    assert len(caching._STAGED) == 2
+    assert len(caching._STAGED) == 3  # hashed + band rows + shingle sets
     # ...and the NEXT registry query's entry releases them; dedup_exact
     # stages nothing of its own, so the cache manager drains fully
     REGISTRY["dedup_exact"].spark_fn(spark, SF_DIR).count()
