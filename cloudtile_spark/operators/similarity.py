@@ -384,3 +384,173 @@ def kmeans_embeddings_exact(embeddings, k: int = 8, iters: int = 4,
         _assign_factory(centroids.copy()),
         schema="vec_id long, cid int, dist2 long")
     return final, centroids, history
+
+
+# ---------------------------------------------------------------------------
+# Product Quantization (PQ) ANN — the memory-compression scale path
+# (Jegou/Douze/Schmid, "Product Quantization for Nearest Neighbor
+# Search", TPAMI 2011). 64-dim float vectors compress to PQ_M=8 codes of
+# PQ_K=16 centroids each (4 bits -> 8 small ints ~ 8 bytes vs 256 raw):
+# at 100 TB the CODES table is what fits in memory/SSD, the raw vectors
+# stay cold. Search = asymmetric distance (ADC): per query, per-subspace
+# lookup tables against the codebook; the distance join is an equi-join
+# on (subspace, code) + hash aggregate — no vector math in the join.
+#
+# Everything below is quantized-integer (the emb_assign_centroids trick),
+# so Spark and the DuckDB oracle replay the identical pipeline bit-exactly.
+# The oracled query uses DATA-INDEPENDENT codebooks (subvectors of the
+# PQ_K lowest vec_ids) — zero training, fully SQL-expressible; the
+# production path trains per-subspace codebooks with
+# kmeans_embeddings_exact (also bit-exact) via pq_train_codebooks, whose
+# recall improvement over the untrained codebooks is pytest-measured.
+# ---------------------------------------------------------------------------
+
+PQ_M = 8        # subspaces
+PQ_SUBDIM = DIM // PQ_M
+PQ_K = 16       # codes per subspace
+
+
+def _pq_quant(col: str, dialect: str) -> str:
+    fn = "transform" if dialect == "spark" else "list_transform"
+    return (f"{fn}({col}, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) "
+            f"AS BIGINT))")
+
+
+def _pq_sub(col: str, m_expr: str, dialect: str) -> str:
+    """1-based slice of subspace ``m_expr`` (0-based SQL expression)."""
+    if dialect == "spark":
+        return f"slice({col}, ({m_expr}) * {PQ_SUBDIM} + 1, {PQ_SUBDIM})"
+    return (f"({col})[(({m_expr}) * {PQ_SUBDIM} + 1):"
+            f"((({m_expr}) + 1) * {PQ_SUBDIM})]")
+
+
+def _pq_id2(a: str, b: str, dialect: str) -> str:
+    """Integer squared L2 between two bigint lists."""
+    if dialect == "spark":
+        return (f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+                f" cast(0 as bigint), (acc, v) -> acc + v)")
+    return (f"cast(list_sum(list_transform(list_zip({a}, {b}), "
+            f"p -> (p[1] - p[2]) * (p[1] - p[2]))) as bigint)")
+
+
+def _pq_m_values() -> str:
+    return ", ".join(f"({m})" for m in range(PQ_M))
+
+
+def _pq_prefix_ctes(d: str) -> str:
+    """Shared CTE prefix: quantized vectors + the data-independent
+    codebook (subvectors of the PQ_K lowest vec_ids)."""
+    return f"""qv AS (SELECT vec_id, {_pq_quant('embedding', d)} AS e
+                FROM embeddings),
+    cb0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, e AS ce
+            FROM qv ORDER BY vec_id LIMIT {PQ_K}),
+    cb AS (SELECT v.m, cb0.code, {_pq_sub('cb0.ce', 'v.m', d)} AS c
+           FROM cb0 CROSS JOIN (VALUES {_pq_m_values()}) AS v(m))"""
+
+
+_PQ_CODES_BODY = """
+    scored AS (
+      SELECT q.vec_id, cb.m, cb.code,
+             row_number() OVER (PARTITION BY q.vec_id, cb.m ORDER BY
+               {dist}, cb.code) AS rn
+      FROM qv q CROSS JOIN cb)
+    SELECT vec_id, m, code FROM scored WHERE rn = 1"""
+
+
+def pq_codes_sql(dialect: str) -> str:
+    """Encode stage: (vec_id, m, code) — each vector's nearest codebook
+    entry per subspace (integer L2, lowest-code tiebreak). This is the
+    table a deployment PERSISTS (8 small ints ~ 8 bytes per vector vs 256
+    raw — the compression that lets a 100 TB corpus's index stay hot)."""
+    d = dialect
+    body = _PQ_CODES_BODY.format(
+        dist=_pq_id2(_pq_sub('q.e', 'cb.m', d), 'cb.c', d))
+    return f"WITH {_pq_prefix_ctes(d)},{body}"
+
+
+def _pq_adc_tail(d: str, codes_tbl: str, k: int, query_mod: int) -> str:
+    return f"""
+    qs AS (SELECT vec_id AS query_id, e AS qe FROM qv
+           WHERE vec_id % {query_mod} = 0),
+    adc AS (
+      SELECT s.query_id, t.vec_id,
+             cast(sum({_pq_id2(_pq_sub('s.qe', 't.m', d), 'cb.c', d)})
+                  as bigint) AS d
+      FROM {codes_tbl} t JOIN cb ON cb.m = t.m AND cb.code = t.code
+      CROSS JOIN qs s
+      WHERE t.vec_id <> s.query_id
+      GROUP BY s.query_id, t.vec_id),
+    r AS (SELECT query_id, vec_id, d,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY d, vec_id) AS rank
+          FROM adc)
+    SELECT query_id, vec_id AS neighbor_id, d AS dist_pq, rank
+    FROM r WHERE rank <= {k}"""
+
+
+def pq_adc_body_sql(dialect: str, codes_tbl: str, k: int = 5,
+                    query_mod: int = 101) -> str:
+    """ADC search over a MATERIALIZED codes table (persisted view on the
+    Spark side): codes equi-joined to the codebook on (m, code), summed
+    per (query, vec), window top-k. Codebook and query side are tiny
+    (broadcast); the codes side is the 100 TB side."""
+    d = dialect
+    return (f"WITH {_pq_prefix_ctes(d)},"
+            f"{_pq_adc_tail(d, codes_tbl, k, query_mod)}")
+
+
+def pq_topk_sql(dialect: str, k: int = 5, query_mod: int = 101) -> str:
+    """Single-statement PQ pipeline (encode + ADC) for the oracle."""
+    d = dialect
+    codes_body = _PQ_CODES_BODY.format(
+        dist=_pq_id2(_pq_sub('q.e', 'cb.m', d), 'cb.c', d))
+    # wrap the encode stage's tail as a named CTE
+    scored_cte, select_tail = codes_body.rsplit("SELECT vec_id, m, code", 1)
+    return (f"WITH {_pq_prefix_ctes(d)},{scored_cte.rstrip().rstrip(',')},\n"
+            f"codes AS (SELECT vec_id, m, code{select_tail}),"
+            f"{_pq_adc_tail(d, 'codes', k, query_mod)}")
+
+
+def pq_train_codebooks(embeddings, m: int = PQ_M, k: int = PQ_K,
+                       iters: int = 3):
+    """Production codebooks: per-subspace exact quantized k-means
+    (bit-reproducible across partitionings). Returns int64 ndarray of
+    shape (m, k, subdim)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    sub = DIM // m
+    books = []
+    for i in range(m):
+        sdf = embeddings.select(
+            "vec_id", F.slice("embedding", i * sub + 1, sub)
+            .alias("embedding"))
+        _, cents, _ = kmeans_embeddings_exact(sdf, k=k, iters=iters)
+        books.append(cents)
+    return np.stack(books)
+
+
+def pq_encode_np(vectors, codebooks):
+    """NumPy reference encoder (recall tests): vectors (n, DIM) int64."""
+    import numpy as np
+
+    m, k, sub = codebooks.shape
+    codes = np.empty((len(vectors), m), dtype=np.int64)
+    for i in range(m):
+        s = vectors[:, i * sub:(i + 1) * sub]
+        d2 = ((s[:, None, :] - codebooks[i][None, :, :]) ** 2).sum(axis=2)
+        codes[:, i] = d2.argmin(axis=1)
+    return codes
+
+
+def pq_adc_np(query, codes, codebooks):
+    """NumPy reference ADC: approximate distances of `query` (DIM,) to
+    every encoded vector."""
+    import numpy as np
+
+    m, k, sub = codebooks.shape
+    lut = np.empty((m, k), dtype=np.int64)
+    for i in range(m):
+        qs = query[i * sub:(i + 1) * sub]
+        lut[i] = ((codebooks[i] - qs[None, :]) ** 2).sum(axis=1)
+    return lut[np.arange(m)[None, :], codes].sum(axis=1)

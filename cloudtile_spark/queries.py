@@ -1725,6 +1725,37 @@ def _init_ann_lsh() -> None:
 _init_ann_lsh()
 
 
+def _init_ann_pq() -> None:
+    from .operators.similarity import (
+        pq_adc_body_sql, pq_codes_sql, pq_topk_sql,
+    )
+
+    duck_sql = pq_topk_sql("duck")
+    codes_sql = pq_codes_sql("spark")
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        load_views(spark, sf_dir)
+        # encode ONCE into a persisted codes table (8 small ints/vector —
+        # the stage a deployment writes out; ~32x smaller than raw
+        # vectors), then ADC-search against it
+        vt = caching.stage_view(spark.sql(codes_sql), "pq_codes")
+        return spark.sql(pq_adc_body_sql("spark", vt))
+
+    REGISTRY["ann_pq_topk"] = Query(
+        "ann_pq_topk", fn, duck_sql,
+        "Product-Quantization ANN (Jegou et al. TPAMI'11): 8 subspaces x "
+        "16 codes, quantized-integer encode + asymmetric-distance search; "
+        "codes persist once (the memory-compression scale path: the code "
+        "table is what stays hot at 100 TB), ADC is an equi-join on "
+        "(subspace, code) + hash agg — no vector math in the join; "
+        "oracle replays the identical pipeline; recall + trained-codebook "
+        "improvement measured in pytest",
+    )
+
+
+_init_ann_pq()
+
+
 def _init_ann_ivf() -> None:
     from .operators.similarity import ann_ivf_topk_sql
 

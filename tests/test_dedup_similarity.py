@@ -169,3 +169,57 @@ def test_kmeans_exact_bit_reproducible_across_partitionings(spark):
     # integer SSE history is monotone non-increasing up to the +/- k
     # quantization floor wobble of the centroid update
     assert all(a >= b - 8 for a, b in zip(h1, h1[1:])), h1
+
+
+def test_pq_ann_recall_and_encode_parity(spark):
+    """PQ-ANN: (1) the distributed SQL encode stage equals the NumPy
+    reference encoder on the same (untrained) codebooks; (2) codebooks
+    trained per subspace with the exact quantized k-means beat untrained
+    ones, and the ADC shortlist@100 captures >= 75% of the true top-5
+    (the production shape: ADC shortlist + exact rerank)."""
+    import numpy as np
+
+    from cloudtile_spark.queries import load_views
+    from cloudtile_spark.operators.similarity import (
+        pq_adc_np, pq_codes_sql, pq_encode_np, pq_train_codebooks,
+    )
+
+    load_views(spark, SF_DIR.replace("0.001", "0.01"))
+    emb = spark.table("embeddings")
+    rows = sorted((r.vec_id, r.embedding) for r in emb.collect())
+    ids = np.array([r[0] for r in rows])
+    m = np.floor(np.array([r[1] for r in rows],
+                          dtype=np.float64) * 1000).astype(np.int64)
+
+    # (1) SQL encode == NumPy encode, same untrained codebooks
+    got = {(r.vec_id, r.m): r.code
+           for r in spark.sql(pq_codes_sql("spark")).collect()}
+    books_u = np.stack([m[:16, i * 8:(i + 1) * 8] for i in range(8)])
+    codes_u = pq_encode_np(m, books_u)
+    want = {(int(ids[v]), mm): int(codes_u[v, mm])
+            for v in range(len(ids)) for mm in range(8)}
+    assert got == want
+
+    # (2) trained codebooks: direct recall and shortlist containment
+    books_t = pq_train_codebooks(emb)
+    codes_t = pq_encode_np(m, books_t)
+
+    def metrics(books, codes, shortlist):
+        tot = hit5 = hit_sl = 0
+        for qi in range(0, len(m), 101):
+            d_true = ((m - m[qi]) ** 2).sum(axis=1)
+            d_true[qi] = 1 << 62
+            true5 = set(ids[np.argsort(d_true, kind="stable")[:5]])
+            d_pq = pq_adc_np(m[qi], codes, books)
+            d_pq[qi] = 1 << 62
+            order = ids[np.lexsort((ids, d_pq))]
+            hit5 += len(true5 & set(order[:5]))
+            hit_sl += len(true5 & set(order[:shortlist]))
+            tot += 5
+        return hit5 / tot, hit_sl / tot
+
+    r5_u, _ = metrics(books_u, codes_u, 100)
+    r5_t, rsl_t = metrics(books_t, codes_t, 100)
+    assert r5_t > r5_u           # training helps (0.28 vs 0.0 measured)
+    assert r5_t >= 0.15
+    assert rsl_t >= 0.75         # shortlist@100 holds the true top-5
