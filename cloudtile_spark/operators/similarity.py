@@ -437,9 +437,24 @@ def _pq_m_values() -> str:
     return ", ".join(f"({m})" for m in range(PQ_M))
 
 
+def _pq_qv(d: str) -> str:
+    """Derived table: quantized integer vectors."""
+    return (f"(SELECT vec_id, {_pq_quant('embedding', d)} AS e "
+            f"FROM embeddings)")
+
+
+def _pq_cb(d: str) -> str:
+    """Derived table: the data-independent codebook (subvectors of the
+    PQ_K lowest vec_ids) exploded per subspace — (m, code, c)."""
+    return (f"(SELECT v.m, cb0.code, {_pq_sub('cb0.ce', 'v.m', d)} AS c "
+            f"FROM (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS "
+            f"code, e AS ce FROM {_pq_qv(d)} q0 "
+            f"ORDER BY vec_id LIMIT {PQ_K}) cb0 "
+            f"CROSS JOIN (VALUES {_pq_m_values()}) AS v(m))")
+
+
 def _pq_prefix_ctes(d: str) -> str:
-    """Shared CTE prefix: quantized vectors + the data-independent
-    codebook (subvectors of the PQ_K lowest vec_ids)."""
+    """Shared CTE prefix for SINGLE-STATEMENT forms (the oracle)."""
     return f"""qv AS (SELECT vec_id, {_pq_quant('embedding', d)} AS e
                 FROM embeddings),
     cb0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, e AS ce
@@ -461,11 +476,22 @@ def pq_codes_sql(dialect: str) -> str:
     """Encode stage: (vec_id, m, code) — each vector's nearest codebook
     entry per subspace (integer L2, lowest-code tiebreak). This is the
     table a deployment PERSISTS (8 small ints ~ 8 bytes per vector vs 256
-    raw — the compression that lets a 100 TB corpus's index stay hot)."""
+    raw — the compression that lets a 100 TB corpus's index stay hot).
+
+    Deliberately CTE-FREE (nested derived tables only): a statement whose
+    analyzed plan keeps a multi-referenced CTE (WithCTE node) defeats
+    Spark's cache-plan canonicalization when the CONSUMER statement has
+    its own WITH clause — the persisted stage would silently recompute
+    instead of being read from cache (measured r4: 0 InMemoryRelation in
+    the ADC plan with the CTE form, 1 with this form)."""
     d = dialect
-    body = _PQ_CODES_BODY.format(
-        dist=_pq_id2(_pq_sub('q.e', 'cb.m', d), 'cb.c', d))
-    return f"WITH {_pq_prefix_ctes(d)},{body}"
+    dist = _pq_id2(_pq_sub('q.e', 'cb.m', d), 'cb.c', d)
+    return (f"SELECT vec_id, m, code FROM ("
+            f"SELECT q.vec_id, cb.m, cb.code, "
+            f"row_number() OVER (PARTITION BY q.vec_id, cb.m "
+            f"ORDER BY {dist}, cb.code) AS rn "
+            f"FROM {_pq_qv(d)} q CROSS JOIN {_pq_cb(d)} cb) s "
+            f"WHERE rn = 1")
 
 
 def _pq_adc_tail(d: str, codes_tbl: str, k: int, query_mod: int) -> str:

@@ -115,6 +115,13 @@ def main() -> None:
         f"(9-row ring offsets per pass, salt ids); certificate/anti joins "
         f"carry no hint (hint_small=False) and plan as SortMergeJoin here\n"
         f"- SortMergeJoin operators: {s.count('SortMergeJoin')}\n"
+        f"- SIZE-CONTRACT NOTE (r4): `knn_join_adaptive` — the variant the "
+        f"`knn_512q` bench leg headlines — BROADCASTS the query ring-cell "
+        f"table by contract (documented in its docstring): query side must "
+        f"fit executor memory, point side unbounded. `knn_join_shuffle` "
+        f"(this section) is the large-query-side path with identical "
+        f"output; both are bench legs so the broadcast-vs-shuffle trade is "
+        f"measured, not assumed.\n"
     )
     # as-of join (round 3): union+window — the whole point is ONE hash
     # exchange on the key and zero joins of any kind in the plan
@@ -151,6 +158,33 @@ def main() -> None:
         f"whole per-round plan — lineage does not grow with iterations)\n"
     )
     spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+    # PQ-ANN (round 4): ADC over the persisted codes table — the join is
+    # on (subspace, code) against the tiny codebook; no vector math in it
+    s = plan_of(REGISTRY["ann_pq_topk"].spark_fn(spark, sf))
+    out.append(
+        f"## ann_pq_topk (PQ encode + ADC)\n\n"
+        f"- join strategies: "
+        f"{sorted({w for w in s.split() if w.endswith('Join')})} — the ADC "
+        f"join keys are (subspace, code) vs the {16}-row codebook; the "
+        f"codes table scans from the persisted stage (encode runs once)\n"
+        f"- HashAggregate: {s.count('HashAggregate')} (per-(query, vec) "
+        f"distance sum is a hash agg, map-side combinable)\n"
+        f"- InMemoryTableScan (staged codes reuse): "
+        f"{s.count('InMemoryTableScan') + s.count('InMemoryRelation')}\n"
+    )
+    # polygon-general overlay (round 4): bbox broadcast prefilter, then a
+    # map-side Arrow kernel — no shuffle until the final per-zone agg
+    s = plan_of(REGISTRY["zone_overlap_area_poly"].spark_fn(spark, sf))
+    out.append(
+        f"## zone_overlap_area_poly (S-H convex clip overlay)\n\n"
+        f"- BroadcastExchange operators: {s.count('BroadcastExchange')} "
+        f"(the ~25-row zone table only)\n"
+        f"- MapInPandas (clip kernel): {s.count('MapInPandas')} — rings "
+        f"rebuilt from ids executor-side, no vertex shuffle\n"
+        f"- Exchange (shuffle): {s.count('Exchange') - s.count('BroadcastExchange')} "
+        f"(the final per-zone hash agg only)\n"
+    )
 
     # bucketing: two tables bucketed on the cell key join WITHOUT a shuffle
     # (the co-located-join strategy for repeated tile/cell joins at 100 TB)
