@@ -54,9 +54,10 @@ def prepare_features(spark, cores) -> None:
 REGISTRY_QUERIES = [
     "geo_pyramid_z0_8", "pip_bbox_join", "knn_k5", "dedup_exact",
     "dedup_minhash_lsh", "dedup_keep_best",
-    "ann_cosine_topk", "ann_lsh_topk", "tpch_q1", "tpch_q3",
+    "ann_cosine_topk", "ann_lsh_topk", "ann_pq_topk",
+    "tpch_q1", "tpch_q3",
     "events_sessionize", "text_quality", "lang_id",
-    "ts_asof_join", "dedup_cc_clusters",
+    "ts_asof_join", "dedup_cc_clusters", "zone_overlap_area_poly",
 ]
 
 

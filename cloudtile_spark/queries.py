@@ -690,24 +690,7 @@ def _pentagon_ring(zone_id: int, cx: float, cy: float):
         [cx + r * np.cos(ang), cy + r * np.sin(ang)], axis=1)
 
 
-@_register(
-    "zone_overlap_area_poly",
-    None,  # golden-fixture oracle attached below + NumPy parity pytest
-    doc="polygon-GENERAL overlay area join (closes the r3 rect-only gap; "
-        "reference semantics anchor: tippecanoe's clip family, "
-        "tippecanoe.yaml:81-84): non-convex star features x convex "
-        "pentagon zones, bbox-prefiltered broadcast join, per-pair exact "
-        "Sutherland-Hodgman intersection area (geom.clip_ring_to_convex, "
-        "Arrow-batched kernel rebuilding rings from ids — no vertex "
-        "shuffle), micro-deg^2 integer areas so sums are fold-order-free. "
-        "100 TB shape: candidates via the same bbox equi/range join as "
-        "pip_join (shuffle variant available for a huge zone side), "
-        "kernel is map-side per pair, aggregate is a hash-agg",
-)
-def _zone_overlap_area_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
-    import pandas as pd
-
+def _overlay_poly_inputs(spark: SparkSession, sf_dir: str):
     g = docs_geo(spark, sf_dir).selectExpr(
         "doc_id", "lon", "lat",
         "cast(1.2 + cast(doc_id % 7 as double) * 0.1 as double) AS r_out",
@@ -718,13 +701,14 @@ def _zone_overlap_area_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cast((ymin + ymax) / 2.0 as double) AS cy, "
         "cast(9.0 + cast(zone_id % 5 as double) * 1.5 as double) AS zr FROM z"
     )
-    cand = g.join(
-        F.broadcast(zones),
-        (F.col("lon") - F.col("r_out") < F.col("cx") + F.col("zr"))
-        & (F.col("lon") + F.col("r_out") > F.col("cx") - F.col("zr"))
-        & (F.col("lat") - F.col("r_out") < F.col("cy") + F.col("zr"))
-        & (F.col("lat") + F.col("r_out") > F.col("cy") - F.col("zr")),
-    ).select("zone_id", "doc_id", "lon", "lat", "cx", "cy")
+    return g, zones
+
+
+def _overlay_poly_result(cand: DataFrame) -> DataFrame:
+    """Shared tail of the overlay-poly family: Arrow clip kernel over the
+    candidate (zone, doc) pairs + per-zone integer-area aggregate."""
+    import numpy as np
+    import pandas as pd
 
     def area_kernel(batches):
         for pdf in batches:
@@ -750,6 +734,79 @@ def _zone_overlap_area_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum("area_u").cast("bigint").alias("total_area_u"),
              F.min("doc_id").alias("min_fid"))
     )
+
+
+@_register(
+    "zone_overlap_area_poly",
+    None,  # golden-fixture oracle attached below + NumPy parity pytest
+    doc="polygon-GENERAL overlay area join (closes the r3 rect-only gap; "
+        "reference semantics anchor: tippecanoe's clip family, "
+        "tippecanoe.yaml:81-84): non-convex star features x convex "
+        "pentagon zones, bbox-prefiltered broadcast join, per-pair exact "
+        "Sutherland-Hodgman intersection area (geom.clip_ring_to_convex, "
+        "Arrow-batched kernel rebuilding rings from ids — no vertex "
+        "shuffle), micro-deg^2 integer areas so sums are fold-order-free. "
+        "100 TB shape: candidates via the same bbox equi/range join as "
+        "pip_join (shuffle variant available for a huge zone side), "
+        "kernel is map-side per pair, aggregate is a hash-agg",
+)
+def _zone_overlap_area_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g, zones = _overlay_poly_inputs(spark, sf_dir)
+    cand = g.join(
+        F.broadcast(zones),
+        (F.col("lon") - F.col("r_out") < F.col("cx") + F.col("zr"))
+        & (F.col("lon") + F.col("r_out") > F.col("cx") - F.col("zr"))
+        & (F.col("lat") - F.col("r_out") < F.col("cy") + F.col("zr"))
+        & (F.col("lat") + F.col("r_out") > F.col("cy") - F.col("zr")),
+    ).select("zone_id", "doc_id", "lon", "lat", "cx", "cy")
+    return _overlay_poly_result(cand)
+
+
+_OVERLAY_CELL_DEG = 11.25  # candidate-generation grid (32 x 16 world)
+
+
+def _overlay_cell_cover(df: DataFrame, xlo, xhi, ylo, yhi) -> DataFrame:
+    """Explode a bbox to the lon/lat grid cells it touches (plain-degree
+    grid — only candidate generation, exactness comes from the kernel)."""
+    c = _OVERLAY_CELL_DEG
+    return df.withColumn("cxc", F.explode(F.sequence(
+        F.floor((xlo + F.lit(180.0)) / c).cast("int"),
+        F.floor((xhi + F.lit(180.0)) / c).cast("int")))) \
+        .withColumn("cyc", F.explode(F.sequence(
+            F.floor((ylo + F.lit(90.0)) / c).cast("int"),
+            F.floor((yhi + F.lit(90.0)) / c).cast("int"))))
+
+
+@_register(
+    "zone_overlap_area_poly_shuffle",
+    None,  # same golden oracle as zone_overlap_area_poly (alias below)
+    doc="NO-BROADCAST overlay-poly twin (the 100 TB-zones path, same "
+        "family shape as pip_shuffle_join/knn_shuffle_k5): both sides "
+        "explode their bbox onto a coarse lon/lat grid, candidates come "
+        "from a cell EQUI-join (shuffle, AQE-splittable) + exact bbox "
+        "refine + distinct, then the identical clip kernel. Output equals "
+        "the broadcast variant exactly — gated by the same golden",
+)
+def _zone_overlap_area_poly_shuffle(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    g, zones = _overlay_poly_inputs(spark, sf_dir)
+    gc = _overlay_cell_cover(
+        g, F.col("lon") - F.col("r_out"), F.col("lon") + F.col("r_out"),
+        F.col("lat") - F.col("r_out"), F.col("lat") + F.col("r_out"))
+    zc = _overlay_cell_cover(
+        zones.selectExpr("zone_id", "cx", "cy", "zr"),
+        F.col("cx") - F.col("zr"), F.col("cx") + F.col("zr"),
+        F.col("cy") - F.col("zr"), F.col("cy") + F.col("zr"))
+    cand = (
+        gc.join(zc, ["cxc", "cyc"])  # plain equi-join: no broadcast hint
+        .where((F.col("lon") - F.col("r_out") < F.col("cx") + F.col("zr"))
+               & (F.col("lon") + F.col("r_out") > F.col("cx") - F.col("zr"))
+               & (F.col("lat") - F.col("r_out") < F.col("cy") + F.col("zr"))
+               & (F.col("lat") + F.col("r_out") > F.col("cy") - F.col("zr")))
+        .select("zone_id", "doc_id", "lon", "lat", "cx", "cy")
+        .distinct()  # a pair can meet in several cells
+    )
+    return _overlay_poly_result(cand)
 
 
 @_register(
@@ -2282,6 +2339,43 @@ def _scd2_sql(epoch_s: str) -> str:
     """
 
 
+_shared_sql(
+    "merge_upsert_snapshot",
+    """
+    WITH changes AS (
+      SELECT doc_id, 'update' AS op,
+             cast(n_chars + 1000 as bigint) AS new_n_chars
+      FROM documents WHERE doc_id % 10 = 3 AND doc_id % 23 <> 5
+      UNION ALL
+      SELECT doc_id, 'delete' AS op, cast(0 as bigint) AS new_n_chars
+      FROM documents WHERE doc_id % 23 = 5
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, 'insert' AS op,
+             cast(doc_id % 997 + 1 as bigint) AS new_n_chars
+      FROM documents WHERE doc_id % 17 = 0
+    ),
+    merged AS (
+      SELECT coalesce(c.doc_id, t.doc_id) AS doc_id,
+             coalesce(c.op, 'keep') AS action,
+             CASE WHEN c.op = 'update' OR c.op = 'insert'
+                  THEN c.new_n_chars
+                  ELSE cast(t.n_chars as bigint) END AS n_chars_final
+      FROM documents t FULL OUTER JOIN changes c ON t.doc_id = c.doc_id
+    )
+    SELECT doc_id, action, n_chars_final
+    FROM merged WHERE action <> 'delete'
+    """,
+    doc="MERGE INTO / upsert snapshot maintenance (the lakehouse "
+        "Delta/Iceberg MERGE physical shape): a deterministic change "
+        "batch (updates, deletes, inserts with disjoint key sets) FULL "
+        "OUTER JOINs the target on the key — matched updates replace, "
+        "tombstones drop, unmatched changes insert, unmatched targets "
+        "keep. ONE shuffle on the merge key; at 100 TB the same plan "
+        "benefits from target bucketing on doc_id (see the bucketed "
+        "cell-join audit in BENCH/PLANS.md)",
+)
+
+
 @_register(
     "scd2_versions",
     _scd2_sql("epoch_us(ts)"),
@@ -2952,9 +3046,12 @@ def _attach_golden_oracles() -> None:
         from .goldens import GOLDEN_SQL
     except ImportError:  # goldens not generated yet
         return
-    for name, sql in GOLDEN_SQL.items():
-        q = REGISTRY.get(name)
-        if q is not None and not q.oracle:
+    # queries that must equal another query's output exactly reuse its
+    # golden (the shuffle twin of the overlay-poly join)
+    aliases = {"zone_overlap_area_poly_shuffle": "zone_overlap_area_poly"}
+    for name, q in list(REGISTRY.items()):
+        sql = GOLDEN_SQL.get(name) or GOLDEN_SQL.get(aliases.get(name, ""))
+        if sql is not None and not q.oracle:
             REGISTRY[name] = Query(
                 q.name, q.spark_fn, sql,
                 q.doc + " [golden-fixture oracle, sf0.01]")

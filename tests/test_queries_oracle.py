@@ -73,3 +73,28 @@ def test_sketch_aggregates_error_bounds(spark):
         assert e["lo"] <= a["p50_chars"] <= e["hi"]
         # default accuracy 10000 -> exact-ish on these group sizes
         assert abs(a["p50_chars"] - e["p50"]) <= max(2.0, 0.05 * e["p50"])
+
+
+def test_overlay_poly_shuffle_equals_broadcast_and_no_broadcast_plan(spark):
+    """The no-broadcast overlay twin must equal the broadcast variant
+    exactly, and with the broadcast threshold disabled its plan must
+    contain ZERO BroadcastExchange over data-derived frames."""
+    from cloudtile_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.01"
+    want = {tuple(r) for r in
+            REGISTRY["zone_overlap_area_poly"].spark_fn(spark, sf).collect()}
+    got = {tuple(r) for r in
+           REGISTRY["zone_overlap_area_poly_shuffle"]
+           .spark_fn(spark, sf).collect()}
+    assert got == want and got
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = REGISTRY["zone_overlap_area_poly_shuffle"].spark_fn(spark, sf)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in plan
+        n = df.count()
+        assert n > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
