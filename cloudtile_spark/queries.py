@@ -2955,6 +2955,26 @@ def _raster_zone_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "raster_polygonize", None,
+    doc="distributed POLYGONIZE (raster -> connected vector regions, r4): "
+        "two-level labeling — per-tile run-based 4-connected CCL inside "
+        "the Arrow batch, cross-tile merge via canonical border-edge keys "
+        "equi-joined into a label-adjacency graph closed by "
+        "large-star/small-star connected components (operators/graph.py). "
+        "Shuffle volume is O(tile perimeter), never O(pixels) — the "
+        "planet-raster shape. Golden-fixture oracle (CCL is not "
+        "SQL-expressible); independent stitched-mosaic BFS parity pytest",
+)
+def _raster_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.raster import polygonize_tiles, rasterize_zones
+    from .sources.zones import synth_zones
+
+    load_views(spark, sf_dir)  # parity of table-loading behavior
+    return polygonize_tiles(
+        rasterize_zones(spark, synth_zones(10), z=7, size=64), size=64)
+
+
+@_register(
     "raster_zonal_stats", None,
     doc="raster->vector ZONAL STATISTICS: per-zone count/sum/min/max of a "
         "deterministic synthetic band over rasterized zone masks; per-tile "

@@ -408,3 +408,55 @@ def test_extract_media_features_real_wav_branch(spark):
     want_fake = mm._fake_features(b"not-audio-bytes")
     assert np.allclose(out[2].features, want_fake, atol=1e-7)
     assert out[1].n_bytes == len(mm.make_wav(1))
+
+
+def test_polygonize_matches_stitched_mosaic_bfs(spark):
+    """Distributed two-level polygonize == an INDEPENDENT single-machine
+    algorithm: stitch every tile grid into one global pixel set and flood
+    -fill it with a BFS (no shared code with the run-based CCL kernel).
+    Region-size multisets must match exactly."""
+    from collections import deque
+
+    import numpy as np
+
+    from cloudtile_spark.operators.raster import (
+        polygonize_tiles, rasterize_zones,
+    )
+    from cloudtile_spark.sources.zones import synth_zones
+
+    size = 64
+    raster = rasterize_zones(spark, synth_zones(10), z=7, size=size).cache()
+    got = sorted(
+        (r.n_pixels, r.n_pieces)
+        for r in polygonize_tiles(raster, size=size).collect())
+
+    # independent: global filled-pixel set -> BFS flood fill
+    filled = set()
+    for r in raster.collect():
+        g = np.frombuffer(bytes(r.grid), dtype=np.uint8) \
+            .reshape(size, size).astype(bool)
+        ys, xs = np.nonzero(g)
+        for py, px in zip(ys.tolist(), xs.tolist()):
+            filled.add((r.x * size + px, r.y * size + py))
+    raster.unpersist()
+
+    sizes = []
+    seen = set()
+    for start in filled:
+        if start in seen:
+            continue
+        q = deque([start])
+        seen.add(start)
+        n = 0
+        while q:
+            gx, gy = q.popleft()
+            n += 1
+            for nx, ny in ((gx + 1, gy), (gx - 1, gy),
+                           (gx, gy + 1), (gx, gy - 1)):
+                if (nx, ny) in filled and (nx, ny) not in seen:
+                    seen.add((nx, ny))
+                    q.append((nx, ny))
+        sizes.append(n)
+
+    assert sorted(n for n, _ in got) == sorted(sizes)
+    assert sum(n for n, _ in got) == len(filled)

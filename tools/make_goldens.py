@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 GOLDEN_QUERIES = ["pages_extract", "mvt_tiles", "raster_zone_fill",
                   "raster_zonal_stats", "geom_mvt_tiles",
-                  "zone_overlap_area_poly"]
+                  "zone_overlap_area_poly", "raster_polygonize"]
 
 HEADER = '''"""AUTO-GENERATED golden-fixture oracles (tools/make_goldens.py).
 
