@@ -809,6 +809,24 @@ def _zone_overlap_area_poly_shuffle(spark: SparkSession,
     return _overlay_poly_result(cand)
 
 
+_shared_sql(
+    "geo_geohash_rollup",
+    f"""
+    WITH {_GEO_CTE},
+    g2 AS (SELECT doc_id, {tiles.geohash_sql('lon', 'lat', 6)} AS gh
+           FROM geo)
+    SELECT substr(gh, 1, 3) AS gh3, count(*) AS n_docs,
+           min(gh) AS min_gh, min(doc_id) AS min_doc
+    FROM g2 GROUP BY substr(gh, 1, 3)
+    """,
+    doc="standard GEOHASH encode (Niemeyer base32; verified against "
+        "canonical test vectors u4pruy/ezs42e44) as pure integer bit math "
+        "in codegen — morton-interleaved quantized lon/lat, no UDF — "
+        "rolled up by 3-char prefix (the hierarchical-containment "
+        "property geohash is used for: prefix = coarser cell)",
+)
+
+
 @_register(
     "knn_k5",
     f"""

@@ -251,3 +251,34 @@ def lon_to_merc_sql(lon: str) -> str:
 def lat_to_merc_sql(lat: str) -> str:
     phi = f"radians({clamped_lat_sql(lat)})"
     return f"(ln(tan(pi() / 4.0 + ({phi}) / 2.0)) * {MERC_R!r})"
+
+
+_GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_sql(lon: str, lat: str, precision: int = 6) -> str:
+    """Standard geohash (Niemeyer base32) of a lon/lat column pair as a
+    pure SQL expression — valid in Spark SQL AND DuckDB, all integer bit
+    math inside codegen (no UDF). Even precisions only (lon and lat then
+    carry precision*5/2 bits each, which the 16-bit morton spread covers
+    up to precision 12).
+
+    Geohash bit layout: MSB-first alternating lon, lat, ... — i.e. lon
+    occupies the odd bit positions of the morton interleave (y side) and
+    lat the even (x side).
+    """
+    if precision % 2 or precision > 12:
+        raise ValueError("even precision <= 12 required")
+    bits = precision * 5 // 2  # per axis
+    n = 1 << bits
+    lon_q = (f"least(greatest(cast(floor((({lon}) + 180.0) / 360.0 "
+             f"* {n}.0) as bigint), 0), {n - 1})")
+    lat_q = (f"least(greatest(cast(floor((({lat}) + 90.0) / 180.0 "
+             f"* {n}.0) as bigint), 0), {n - 1})")
+    v = morton_sql(lat_q, lon_q)
+    chars = [
+        f"substr('{_GEOHASH32}', cast((({v}) >> {5 * (precision - 1 - i)})"
+        f" & 31 as int) + 1, 1)"
+        for i in range(precision)
+    ]
+    return "concat(" + ", ".join(chars) + ")"

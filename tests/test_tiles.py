@@ -137,3 +137,50 @@ def test_norm_lon_sql():
         " (540.0), (0.0), (180.0), (-180.0)) AS t(v)"
     ).fetchnumpy()["nl"]
     assert np.allclose(got, [-179.0, 179.0, 180.0 - 360.0, 0.0, -180.0, -180.0])
+
+
+def test_geohash_sql_canonical_vectors(spark):
+    """geohash_sql against canonical published geohash test vectors and a
+    pure-python bisection reference, on BOTH engines."""
+    import duckdb
+
+    from cloudtile_spark import tiles
+
+    def ref(lat, lon, p):
+        alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+        latr, lonr = [-90.0, 90.0], [-180.0, 180.0]
+        bits, ch, out, even = 0, 0, "", True
+        while len(out) < p:
+            if even:
+                mid = (lonr[0] + lonr[1]) / 2
+                if lon >= mid:
+                    ch, lonr[0] = ch * 2 + 1, mid
+                else:
+                    ch, lonr[1] = ch * 2, mid
+            else:
+                mid = (latr[0] + latr[1]) / 2
+                if lat >= mid:
+                    ch, latr[0] = ch * 2 + 1, mid
+                else:
+                    ch, latr[1] = ch * 2, mid
+            even = not even
+            bits += 1
+            if bits == 5:
+                out += alpha[ch]
+                bits, ch = 0, 0
+        return out
+
+    cases = [(57.64911, 10.40744, 6, "u4pruy"),
+             (42.6, -5.6, 8, "ezs42e44"),
+             (0.0, 0.0, 6, ref(0.0, 0.0, 6)),
+             (-33.8678, 151.2073, 8, ref(-33.8678, 151.2073, 8)),
+             (89.9, -179.9, 6, ref(89.9, -179.9, 6))]
+    con = duckdb.connect()
+    for lat, lon, p, want in cases:
+        # literals must be cast: Spark parses -5.6 as DECIMAL, whose
+        # rounding flips the last geohash bit (double columns are fine)
+        expr = tiles.geohash_sql(f"cast({lon} as double)",
+                                 f"cast({lat} as double)", p)
+        got_s = spark.sql(f"SELECT {expr} AS gh").collect()[0].gh
+        got_d = con.sql(f"SELECT {expr} AS gh").fetchone()[0]
+        assert got_s == got_d == want == ref(lat, lon, p), (lat, lon, p)
