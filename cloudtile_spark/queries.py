@@ -142,6 +142,54 @@ _shared_sql(
     doc="pyramid explode z0-8 (B4): zoom fan-out then per-tile counts",
 )
 
+_INC_TILE = """t AS (SELECT g.doc_id, zs.z,
+                 {tx} AS x,
+                 {ty} AS y
+          FROM geo g CROSS JOIN zs{where})"""
+
+
+def _inc_pyramid_sql(where: str) -> str:
+    from . import tiles as _t
+    return _INC_TILE.format(tx=_t.tile_x_sql('g.lon', 'zs.z'),
+                            ty=_t.tile_y_sql('g.lat', 'zs.z'),
+                            where=where)
+
+
+_shared_sql(
+    "incremental_pyramid_merge",
+    f"""
+    WITH {_GEO_CTE},
+    zs AS (SELECT z FROM (VALUES {_ZS}) AS v(z)),
+    {_inc_pyramid_sql(' WHERE g.doc_id % 4 <> 0')},
+    base AS (SELECT z, x, y, count(*) AS n FROM t GROUP BY z, x, y),
+    {_inc_pyramid_sql(' WHERE g.doc_id % 4 = 0').replace('t AS', 't2 AS')},
+    delta AS (SELECT z, x, y, count(*) AS n FROM t2 GROUP BY z, x, y),
+    merged AS (
+      SELECT coalesce(b.z, d.z) AS z, coalesce(b.x, d.x) AS x,
+             coalesce(b.y, d.y) AS y,
+             coalesce(b.n, 0) + coalesce(d.n, 0) AS feature_count
+      FROM base b FULL OUTER JOIN delta d
+        ON b.z = d.z AND b.x = d.x AND b.y = d.y)
+    SELECT z, x, y, cast(feature_count as bigint) AS feature_count
+    FROM merged
+    """,
+    doc="INCREMENTAL pyramid maintenance (the batch twin of the streaming "
+        "incremental_tile_counts): yesterday's materialized tile counts + "
+        "today's delta crawl merge via FULL OUTER JOIN on (z, x, y) with "
+        "count addition — ONE shuffle over the delta at steady state. The "
+        "oracle is the DIRECT full recompute over the whole corpus in a "
+        "different formulation, so the gate proves incremental == "
+        "recompute, the invariant incremental view maintenance must hold",
+    oracle_sql_text=f"""
+    WITH {_GEO_CTE},
+    zs AS (SELECT z FROM (VALUES {_ZS}) AS v(z)),
+    {_inc_pyramid_sql('')}
+    SELECT z, x, y, count(*) AS feature_count
+    FROM t GROUP BY z, x, y
+    """,
+)
+
+
 _shared_sql(
     "geo_tile_topk_z6",
     f"""
