@@ -875,6 +875,84 @@ _shared_sql(
 )
 
 
+_DBSCAN_MINPTS = 5
+
+
+def _dbscan_prefix_ctes() -> str:
+    """Shared CTE prefix (dual-dialect): z6 cell counts, dense cells
+    (>= minPts), 8-adjacency edges between dense cells."""
+    offs = ", ".join(f"({dx}, {dy})" for dx in (-1, 0, 1)
+                     for dy in (-1, 0, 1) if (dx, dy) != (0, 0))
+    return f"""cells AS (
+      SELECT {tiles.tile_x_sql('lon', '6')} AS x,
+             {tiles.tile_y_sql('lat', '6')} AS y,
+             count(*) AS n, min(doc_id) AS min_doc
+      FROM geo GROUP BY 1, 2),
+    dense AS (SELECT x, y, n, min_doc, x * 1024 + y AS nid
+              FROM cells WHERE n >= {_DBSCAN_MINPTS}),
+    offs AS (SELECT dx, dy FROM (VALUES {offs}) AS v(dx, dy)),
+    e AS (
+      SELECT a.nid AS nid_a, b.nid AS nid_b
+      FROM dense a CROSS JOIN offs o
+      JOIN dense b ON b.x = a.x + o.dx AND b.y = a.y + o.dy
+      WHERE a.nid < b.nid)"""
+
+
+_DBSCAN_ORACLE = f"""
+    WITH RECURSIVE {{geo_cte}},
+    {{prefix}},
+    e2 AS (SELECT nid_a AS src, nid_b AS dst FROM e
+           UNION ALL SELECT nid_b, nid_a FROM e),
+    walk(node, comp) AS (
+        SELECT nid, nid FROM dense
+        UNION
+        SELECT e2.dst, walk.comp FROM walk JOIN e2 ON e2.src = walk.node
+    ),
+    labels AS (SELECT node AS nid, min(comp) AS cluster
+               FROM walk GROUP BY node)
+    SELECT l.cluster, count(*) AS n_cells,
+           cast(sum(d.n) as bigint) AS n_points, min(d.min_doc) AS min_doc
+    FROM dense d JOIN labels l ON l.nid = d.nid
+    GROUP BY l.cluster
+"""
+
+
+@_register(
+    "geo_dbscan_cells",
+    _DBSCAN_ORACLE.format(geo_cte=_GEO_CTE, prefix=_dbscan_prefix_ctes()),
+    doc="grid-DBSCAN geo clustering: z6 cell histogram -> dense cells "
+        "(>= minPts) -> 8-adjacency equi-join edges -> connected "
+        "components (large-star/small-star, operators/graph.py) -> "
+        "per-cluster stats. The grid variant of density clustering used "
+        "at corpus scale (cells bound candidate pairs exactly like the "
+        "dedup blocking designs); oracle = recursive-CTE min-reachable "
+        "closure over the identical dense-cell graph",
+)
+def _geo_dbscan_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import connected_components
+
+    load_views(spark, sf_dir)
+    dense = caching.stage_view(
+        spark.sql(f"WITH {_GEO_CTE}, {_dbscan_prefix_ctes()} "
+                  "SELECT x, y, n, min_doc, nid FROM dense"),
+        "dbs_dense")
+    edges = spark.sql(
+        f"WITH {_GEO_CTE}, {_dbscan_prefix_ctes()} "
+        "SELECT nid_a, nid_b FROM e")
+    cc = connected_components(edges, "nid_a", "nid_b") \
+        .selectExpr("node AS nid", "component")
+    d = spark.table(dense)
+    return (
+        d.join(cc, "nid", "left")
+        .select(F.coalesce("component", "nid").alias("cluster"),
+                "n", "min_doc")
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_cells"),
+             F.sum("n").cast("bigint").alias("n_points"),
+             F.min("min_doc").alias("min_doc"))
+    )
+
+
 @_register(
     "knn_k5",
     f"""
