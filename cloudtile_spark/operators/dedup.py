@@ -496,3 +496,67 @@ PLANTED_CORPUS_CTE = (
     "SELECT doc_id + 1000000 AS doc_id, text || ' extra trailing' AS text "
     "FROM documents WHERE doc_id % 3 = 0)"
 )
+
+
+# Corpus with planted CONTAINMENT pairs: every 5th document re-appears
+# (doc_id + 2*10^6) embedded verbatim inside boilerplate wrapping — the
+# quote/inclusion shape whose Jaccard is LOW (wrapper >> payload overlap
+# ratio) but whose containment is 1.0, i.e. exactly what symmetric
+# near-dup misses.
+CONTAINMENT_CORPUS_CTE = (
+    "corpus AS ("
+    "SELECT doc_id, text FROM documents "
+    "UNION ALL "
+    "SELECT doc_id + 2000000 AS doc_id, "
+    "'intro section alpha beta gamma delta epsilon zeta eta theta iota "
+    "kappa lam mu nu xi omicron pi rho sigma tau page ' "
+    "|| cast(doc_id as string) || ' ' || text || "
+    "' closing section one two three four five six seven eight nine ten "
+    "eleven twelve thirteen fourteen fifteen sixteen' AS text "
+    "FROM documents WHERE doc_id % 5 = 0)"
+)
+
+
+def ngram_containment_sql(d: Dialect, corpus_cte: str, k: int = 3,
+                          cont_min: float = 0.9,
+                          rare_max_df: int = 20) -> str:
+    """Asymmetric CONTAINMENT dedup (Broder's containment coefficient:
+    C = |A∩B| / min(|A|, |B|)): detects a document embedded inside a
+    larger one, where Jaccard stays low (the wrapper dilutes the union).
+    Same rare-shingle inverted-index blocking as the Jaccard pipeline —
+    candidates bounded, never all-pairs; quantized integer-milli scores
+    so the oracle comparison is division-free."""
+    sh_distinct = d.distinct.format(l=d.shingles("text", k))
+    if d.name == "spark":
+        explode = "SELECT doc_id, explode(sh) AS s FROM shs"
+    else:
+        explode = "SELECT doc_id, unnest(sh) AS s FROM shs"
+    inter = d.intersect.format(a="sa.sh", b="sb.sh")
+    ni = d.size.format(l=inter)
+    na, nb = d.size.format(l="sa.sh"), d.size.format(l="sb.sh")
+    return f"""
+    WITH {corpus_cte},
+    shs AS (SELECT doc_id, {sh_distinct} AS sh FROM corpus),
+    inv AS ({explode}),
+    rare AS (
+      SELECT s FROM inv GROUP BY s
+      HAVING count(*) BETWEEN 2 AND {rare_max_df}),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM inv a JOIN rare r ON a.s = r.s
+      JOIN inv b ON b.s = r.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    scored AS (
+      SELECT c.doc_a, c.doc_b,
+             cast(floor(cast({ni} as double) * 1000.0
+                  / cast(least({na}, {nb}) as double)) as bigint)
+               AS cont_milli,
+             cast(floor(cast({ni} as double) * 1000.0
+                  / cast({na} + {nb} - {ni} as double)) as bigint)
+               AS jac_milli
+      FROM cand c
+      JOIN shs sa ON sa.doc_id = c.doc_a
+      JOIN shs sb ON sb.doc_id = c.doc_b)
+    SELECT doc_a, doc_b, cont_milli, jac_milli
+    FROM scored WHERE cont_milli >= {int(cont_min * 1000)}
+    """

@@ -1569,6 +1569,20 @@ def _init_dedup_queries() -> None:
         "persisted once on the Spark side",
     )
 
+    REGISTRY["dedup_containment"] = Query(
+        "dedup_containment",
+        (lambda spark, sf_dir: (
+            load_views(spark, sf_dir),
+            spark.sql(dd.ngram_containment_sql(
+                dd.SPARK, dd.CONTAINMENT_CORPUS_CTE)))[1]),
+        dd.ngram_containment_sql(dd.DUCK, dd.CONTAINMENT_CORPUS_CTE),
+        "asymmetric CONTAINMENT dedup (Broder coefficient, milli-quantized "
+        "integers): finds documents embedded verbatim inside boilerplate "
+        "wrappers — containment 1.0 where Jaccard stays low; rare-shingle "
+        "inverted-index blocking bounds candidates exactly like the "
+        "Jaccard pipeline",
+    )
+
     # Connected components over the near-dup pair graph: pairs alone
     # under-merge (A~B, B~C but never A~C); the keeper policy needs the
     # transitive closure. Spark runs large-star/small-star (O(log n)

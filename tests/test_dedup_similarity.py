@@ -223,3 +223,37 @@ def test_pq_ann_recall_and_encode_parity(spark):
     assert r5_t > r5_u           # training helps (0.28 vs 0.0 measured)
     assert r5_t >= 0.15
     assert rsl_t >= 0.75         # shortlist@100 holds the true top-5
+
+
+def test_containment_finds_embedded_docs_jaccard_misses(spark):
+    """Every planted wrapper (original text embedded in boilerplate) must
+    surface with containment 1.0; for the typical short document the
+    Jaccard score stays below the 0.5 near-dup threshold — the asymmetric
+    case the symmetric pipelines cannot catch."""
+    from cloudtile_spark.operators import dedup as dd
+    from cloudtile_spark.queries import load_views
+
+    load_views(spark, SF_DIR.replace("0.001", "0.01"))
+    rows = spark.sql(dd.ngram_containment_sql(
+        dd.SPARK, dd.CONTAINMENT_CORPUS_CTE)).collect()
+    got = {(r.doc_a, r.doc_b): (r.cont_milli, r.jac_milli) for r in rows}
+
+    planted = [r.doc_id for r in spark.sql(
+        "SELECT doc_id FROM documents WHERE doc_id % 5 = 0").collect()]
+    found = miss_by_jaccard = 0
+    for d in planted:
+        pair = (d, d + 2000000)
+        if pair in got:
+            found += 1
+            cont, jac = got[pair]
+            assert cont == 1000, pair     # full containment
+            if jac < 500:
+                miss_by_jaccard += 1
+    assert found == len(planted), (found, len(planted))
+    # a large share of planted pairs is invisible to the symmetric 0.5
+    # threshold (the shorter the document, the deeper the miss — measured
+    # 39% at sf0.01, where doc lengths vary), and every planted pair's
+    # Jaccard is strictly below its containment
+    assert miss_by_jaccard >= int(0.3 * len(planted))
+    assert all(got[(d, d + 2000000)][1] < got[(d, d + 2000000)][0]
+               for d in planted)
