@@ -460,3 +460,20 @@ def test_polygonize_matches_stitched_mosaic_bfs(spark):
 
     assert sorted(n for n, _ in got) == sorted(sizes)
     assert sum(n for n, _ in got) == len(filled)
+
+
+def test_rasterize_arrow_equals_pandas_path(spark):
+    """The grouped applyInArrow rasterizer must be byte-identical to the
+    mapInPandas path (same grids, same filled counts, same rows)."""
+    from cloudtile_spark.operators.raster import (
+        rasterize_zones, rasterize_zones_arrow,
+    )
+    from cloudtile_spark.sources.zones import synth_zones
+
+    zones = synth_zones(10)
+    a = {(r.z, r.x, r.y, r.zone_id): (r.filled, bytes(r.grid))
+         for r in rasterize_zones(spark, zones, z=7, size=64).collect()}
+    b = {(r.z, r.x, r.y, r.zone_id): (r.filled, bytes(r.grid))
+         for r in rasterize_zones_arrow(spark, zones, z=7, size=64)
+         .collect()}
+    assert a == b and a
