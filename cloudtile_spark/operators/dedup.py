@@ -560,3 +560,67 @@ def ngram_containment_sql(d: Dialect, corpus_cte: str, k: int = 3,
     SELECT doc_a, doc_b, cont_milli, jac_milli
     FROM scored WHERE cont_milli >= {int(cont_min * 1000)}
     """
+
+
+# Corpus with planted SHARED PASSAGES: every 7th document's 14-token
+# pair-unique passage also appears verbatim inside an otherwise unrelated
+# partner document (doc_id + 3*10^6) — the C4/RefinedWeb "duplicated
+# span" shape: neither document is a near-dup of the other, but they
+# share one long exact run.
+_PASSAGE = (" || ' ' || " .join(
+    f"'q' || cast(doc_id as string) || '{c}'"
+    for c in "abcdefghijklmn"))
+SHARED_PASSAGE_CORPUS_CTE = (
+    "corpus AS ("
+    "SELECT doc_id, "
+    f"CASE WHEN doc_id % 7 = 1 THEN text || ' ' || {_PASSAGE} "
+    "ELSE text END AS text "
+    "FROM documents "
+    "UNION ALL "
+    "SELECT doc_id + 3000000 AS doc_id, "
+    "'unrelated filler words about entirely different topics here ' || "
+    f"{_PASSAGE} || ' trailing filler closing words' AS text "
+    "FROM documents WHERE doc_id % 7 = 1)"
+)
+
+
+def shared_passages_sql(d: Dialect, corpus_cte: str, k: int = 3,
+                        run_min: int = 8, rare_max_df: int = 20) -> str:
+    """Exact shared-PASSAGE detection (the 'remove duplicated spans'
+    primitive): positional shingle hashes, rare-hash inverted-index
+    blocking, then the classic aligned-diagonal trick — a run of L
+    shared tokens puts L-k+1 matching shingles on ONE diagonal
+    (pos_a - pos_b constant), so a GROUP BY (doc_a, doc_b, diagonal)
+    count >= run_min finds long exact runs without any string
+    comparison after hashing. Candidates are bounded by the rare-df
+    filter exactly like the Jaccard/containment pipelines — never
+    all-pairs, and shuffle rows are (doc, pos, hash) fixed-width."""
+    hashes = d.shingle_hashes("text", k)
+    if d.name == "spark":
+        inv = ("SELECT doc_id, pos + 1 AS pos, h FROM hs "
+               "LATERAL VIEW posexplode(hsa) t AS pos, h")
+    else:
+        inv = ("SELECT doc_id, unnest(range(1, len(hsa) + 1)) AS pos, "
+               "unnest(hsa) AS h FROM hs")
+    return f"""
+    WITH {corpus_cte},
+    hs AS (SELECT doc_id, {hashes} AS hsa FROM corpus),
+    inv AS ({inv}),
+    rare AS (
+      SELECT h FROM inv GROUP BY h
+      HAVING count(*) BETWEEN 2 AND {rare_max_df}),
+    pr AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.pos - b.pos AS diag, a.pos AS pa
+      FROM inv a JOIN rare r ON a.h = r.h
+      JOIN inv b ON b.h = r.h AND a.doc_id < b.doc_id),
+    runs AS (
+      SELECT doc_a, doc_b, diag, count(*) AS n_aligned
+      FROM pr GROUP BY doc_a, doc_b, diag),
+    best AS (
+      SELECT doc_a, doc_b, max(n_aligned) AS max_run,
+             count(*) AS n_diags
+      FROM runs WHERE n_aligned >= {run_min}
+      GROUP BY doc_a, doc_b)
+    SELECT doc_a, doc_b, max_run, n_diags FROM best
+    """

@@ -1569,6 +1569,21 @@ def _init_dedup_queries() -> None:
         "persisted once on the Spark side",
     )
 
+    REGISTRY["dedup_shared_passages"] = Query(
+        "dedup_shared_passages",
+        (lambda spark, sf_dir: (
+            load_views(spark, sf_dir),
+            spark.sql(dd.shared_passages_sql(
+                dd.SPARK, dd.SHARED_PASSAGE_CORPUS_CTE)))[1]),
+        dd.shared_passages_sql(dd.DUCK, dd.SHARED_PASSAGE_CORPUS_CTE),
+        "exact shared-PASSAGE detection (the C4/RefinedWeb duplicated-span "
+        "primitive): positional shingle hashes + rare-hash blocking + the "
+        "aligned-diagonal trick (a run of L shared tokens = L-k+1 matches "
+        "on one pos_a - pos_b diagonal) — long exact runs between "
+        "otherwise-unrelated documents, no string comparison after "
+        "hashing, never all-pairs",
+    )
+
     REGISTRY["dedup_containment"] = Query(
         "dedup_containment",
         (lambda spark, sf_dir: (

@@ -257,3 +257,30 @@ def test_containment_finds_embedded_docs_jaccard_misses(spark):
     assert miss_by_jaccard >= int(0.3 * len(planted))
     assert all(got[(d, d + 2000000)][1] < got[(d, d + 2000000)][0]
                for d in planted)
+
+
+def test_shared_passages_finds_planted_spans(spark):
+    """Every planted 14-token passage shared between two otherwise
+    unrelated documents must surface with an aligned run of exactly 12
+    shingles (14 - k + 1), and the partner docs must NOT look like
+    near-dups to the symmetric Jaccard pipeline."""
+    from cloudtile_spark.operators import dedup as dd
+    from cloudtile_spark.queries import load_views
+
+    load_views(spark, SF_DIR.replace("0.001", "0.01"))
+    rows = spark.sql(dd.shared_passages_sql(
+        dd.SPARK, dd.SHARED_PASSAGE_CORPUS_CTE)).collect()
+    got = {(r.doc_a, r.doc_b): r.max_run for r in rows}
+
+    planted = [r.doc_id for r in spark.sql(
+        "SELECT doc_id FROM documents WHERE doc_id % 7 = 1").collect()]
+    for d in planted:
+        assert got.get((d, d + 3000000)) == 12, d
+
+    # the same partner pairs are invisible to symmetric near-dup: their
+    # Jaccard is far below 0.5 (one shared passage in unrelated text)
+    jac = spark.sql(dd.ngram_jaccard_pairs_sql(
+        dd.SPARK, dd.SHARED_PASSAGE_CORPUS_CTE)).collect()
+    jac_pairs = {(r.doc_a, r.doc_b) for r in jac}
+    missed = sum((d, d + 3000000) not in jac_pairs for d in planted)
+    assert missed == len(planted), (missed, len(planted))
