@@ -2413,6 +2413,34 @@ _shared_sql(
 
 # Q10: fact-dim join + group + order + limit (top returned-revenue
 # customers)
+_Q12_SQL = """
+    WITH l AS (SELECT l_orderkey, l_linestatus, {epoch} AS sd
+               FROM lineitem),
+    o AS (SELECT o_orderkey, o_orderpriority FROM orders)
+    SELECT l.l_linestatus,
+           cast(sum(CASE WHEN o.o_orderpriority = '1-URGENT'
+                         OR o.o_orderpriority = '2-HIGH'
+                    THEN 1 ELSE 0 END) as bigint) AS high_line_count,
+           cast(sum(CASE WHEN o.o_orderpriority <> '1-URGENT'
+                         AND o.o_orderpriority <> '2-HIGH'
+                    THEN 1 ELSE 0 END) as bigint) AS low_line_count
+    FROM l JOIN o ON l.l_orderkey = o.o_orderkey
+    WHERE l.sd >= 852076800000000 AND l.sd < 883612800000000
+    GROUP BY l.l_linestatus
+    """
+
+_shared_sql(
+    "tpch_q12",
+    _Q12_SQL.format(epoch="unix_micros(cast(l_shipdate as timestamp))"),
+    doc="TPC-H Q12 shape (shipping-priority distribution): equi-join + "
+        "conditional aggregation (CASE-sum pivots) + a pushdown-friendly "
+        "timestamp range in integer epoch micros (1997 window); the "
+        "synthetic tables lack l_shipmode so o_orderpriority is both the "
+        "CASE discriminator and the join-side payload, same plan shape",
+    oracle_sql_text=_Q12_SQL.format(epoch="epoch_us(l_shipdate)"),
+)
+
+
 _shared_sql(
     "tpch_q10",
     f"""

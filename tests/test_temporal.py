@@ -155,3 +155,18 @@ def test_asof_matches_pandas_merge_asof(spark):
                                 else int(r.r_event_id))
               for r in m.itertuples()}
     assert got == expect
+
+
+def test_asof_forward_with_tolerance(spark):
+    """Tolerance must measure the FORWARD gap (match at-or-after the left
+    row) when direction='forward' — the sign-flip branch of the gap
+    computation."""
+    left, right = _frames(spark)
+    out = asof_join(left, right, on="ts", by="user_id",
+                    right_cols=("event_id",), tiebreak="event_id",
+                    direction="forward",
+                    tolerance_us=6 * 60 * 1_000_000)  # 6 min
+    # 100 at 00:05 -> nearest-after is 00:10 (5 min, within) -> 12;
+    # 200 at 00:00 -> nearest-after is 05:00 (5 h, out) -> NULL
+    assert _collect(out) == {100: 12, 101: 12, 102: None,
+                             200: None, 300: None}
