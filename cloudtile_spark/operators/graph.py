@@ -109,3 +109,50 @@ def connected_components(
             .select(F.col("u").alias("node"),
                     F.coalesce(F.col("comp"), F.col("u"))
                     .alias("component")))
+
+
+def pagerank_quantized(edges: DataFrame, nodes: DataFrame,
+                       iters: int = 3, scale: int = 10**9,
+                       damping_pct: int = 85) -> DataFrame:
+    """PageRank in QUANTIZED INTEGER space — the bit-exact-iteration
+    trick (kmeans_embeddings_exact) applied to graph analytics: ranks are
+    integers, per-edge contributions are floor(rank / out_degree), and
+    the damping step is floor(sum * damping_pct / 100), all via exact
+    double ops on values << 2^53 — so the whole trajectory is identical
+    for ANY partitioning and replayable as a straight-line SQL unrolling
+    (the DuckDB oracle of `graph_pagerank`).
+
+    Scale shape per iteration: one equi-join of edges with the rank table
+    on src (shuffle on node id, AQE-splittable), one hash aggregate on
+    dst, one left join back to the node table — no broadcast of
+    data-derived frames, lineage truncated per round (localCheckpoint,
+    the O(log) lesson from connected_components).
+
+    `edges` needs (src, dst, out_deg); `nodes` needs (node). Returns
+    (node, rank_q) with rank_q = quantized integer rank after `iters`
+    iterations.
+    """
+    base = (100 - damping_pct) * scale // 100
+    ranks = nodes.select("node", F.lit(int(scale)).cast("long").alias("r"))
+    for _ in range(iters):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .select(
+                "dst",
+                F.floor(F.col("r").cast("double")
+                        / F.col("out_deg").cast("double"))
+                .cast("long").alias("c"),
+            )
+        )
+        s = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(s, nodes["node"] == s["dst"], "left")
+            .select(
+                "node",
+                (F.lit(int(base)) + F.floor(
+                    F.coalesce(F.col("s"), F.lit(0)).cast("double")
+                    * damping_pct / 100.0).cast("long")).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", F.col("r").alias("rank_q"))

@@ -1569,6 +1569,57 @@ def _init_dedup_queries() -> None:
         "persisted once on the Spark side",
     )
 
+    def _pr_oracle(iters: int = 3) -> str:
+        parts = ["""n AS (SELECT count(*) AS cnt FROM documents),
+    e AS (SELECT doc_id AS src,
+                 (doc_id * doc_id + 7) % (SELECT cnt FROM n) AS dst,
+                 2 AS out_deg FROM documents
+          UNION ALL
+          SELECT doc_id, (doc_id * 17 + 3) % (SELECT cnt FROM n), 2
+          FROM documents),
+    r0 AS (SELECT doc_id AS node, cast(1000000000 as bigint) AS r
+           FROM documents)"""]
+        for t in range(1, iters + 1):
+            parts.append(f"""c{t} AS (
+      SELECT e.dst, cast(floor(cast(r.r as double)
+             / cast(e.out_deg as double)) as bigint) AS c
+      FROM e JOIN r{t - 1} r ON r.node = e.src),
+    s{t} AS (SELECT dst, sum(c) AS s FROM c{t} GROUP BY dst),
+    r{t} AS (
+      SELECT d.doc_id AS node,
+             cast(150000000 + cast(floor(cast(coalesce(s{t}.s, 0)
+                  as double) * 85 / 100.0) as bigint) as bigint) AS r
+      FROM documents d LEFT JOIN s{t} ON s{t}.dst = d.doc_id)""")
+        return ("WITH " + ",\n    ".join(parts)
+                + f"\nSELECT node, r AS rank_q FROM r{iters}")
+
+    def pr_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .operators.graph import pagerank_quantized
+
+        load_views(spark, sf_dir)
+        edges = spark.sql(
+            "WITH n AS (SELECT count(*) AS cnt FROM documents) "
+            "SELECT doc_id AS src, "
+            "(doc_id * doc_id + 7) % (SELECT cnt FROM n) AS dst, "
+            "cast(2 as bigint) AS out_deg FROM documents "
+            "UNION ALL SELECT doc_id, "
+            "(doc_id * 17 + 3) % (SELECT cnt FROM n), cast(2 as bigint) "
+            "FROM documents")
+        nodes = spark.sql("SELECT doc_id AS node FROM documents")
+        return pagerank_quantized(edges, nodes, iters=3)
+
+    REGISTRY["graph_pagerank"] = Query(
+        "graph_pagerank", pr_fn, _pr_oracle(),
+        "PageRank in quantized-integer space (the bit-exact-iteration "
+        "trick from the exact k-means applied to graph analytics): "
+        "deterministic 2-out link graph (quadratic map -> skewed "
+        "in-degrees), 3 iterations, "
+        "floor-quantized contributions and damping — identical for any "
+        "partitioning; per-iteration cost is one edge-rank equi-join + "
+        "one hash agg, localCheckpoint truncates lineage; oracle = "
+        "straight-line CTE unrolling of the identical recurrence",
+    )
+
     REGISTRY["dedup_shared_passages"] = Query(
         "dedup_shared_passages",
         (lambda spark, sf_dir: (
