@@ -1608,6 +1608,53 @@ def _init_dedup_queries() -> None:
         nodes = spark.sql("SELECT doc_id AS node FROM documents")
         return pagerank_quantized(edges, nodes, iters=3)
 
+    def _hll_sql(d) -> str:
+        h60 = d.hash60.format(s="text")
+        two54 = 18014398509481984  # 2^54
+        return f"""
+    WITH dd AS (SELECT lang, {h60} AS h FROM documents),
+    b AS (SELECT lang, h % 64 AS bucket,
+                 max(55 - length(bin((h >> 6) + 1))) AS r
+          FROM dd GROUP BY 1, 2),
+    regs AS (SELECT lang, count(*) AS nb,
+                    cast(sum(r) as bigint) AS reg_sum,
+                    cast(sum(cast(pow(cast(2.0 as double), 54 - r)
+                         as bigint)) as bigint) AS s_ne
+             FROM b GROUP BY lang),
+    ex AS (SELECT lang, count(DISTINCT h) AS exact_distinct
+           FROM dd GROUP BY lang)
+    SELECT r.lang, r.nb AS n_buckets, r.reg_sum,
+           CASE WHEN r.nb < 64 THEN
+             cast(floor(cast(64.0 as double)
+                  * ln(cast(64.0 as double) / (64 - r.nb))) as bigint)
+           ELSE
+             cast(floor(cast(2904.0 as double) * {two54}.0 /
+                  cast(r.s_ne + (64 - r.nb) * {two54} as double))
+                  as bigint)
+           END AS est_q,
+           e.exact_distinct
+    FROM regs r JOIN ex e ON e.lang = r.lang
+    """
+
+    def hll_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        load_views(spark, sf_dir)
+        return spark.sql(_hll_sql(dd.SPARK))
+
+    REGISTRY["sketch_hll_registers"] = Query(
+        "sketch_hll_registers", hll_fn, _hll_sql(dd.DUCK),
+        "HyperLogLog built FROM SCRATCH as pure SQL, fully HASH-ORACLED "
+        "(unlike engine-internal approx_count_distinct, whose sketches "
+        "are rows-only by construction): 64 registers of "
+        "max-leading-rank per hash bucket (rho via length(bin(h)) — "
+        "identical in both engines), harmonic estimate via ORDER-FREE "
+        "integer power sums (sum 2^(54-r) fits int64), emitted next to "
+        "the exact distinct count per language (small-range linear-"
+        "counting correction applied, the standard Flajolet regime "
+        "switch). Register maxima are "
+        "map-side combinable — sketch shuffle bytes are 64 ints per "
+        "group at any corpus size",
+    )
+
     REGISTRY["graph_pagerank"] = Query(
         "graph_pagerank", pr_fn, _pr_oracle(),
         "PageRank in quantized-integer space (the bit-exact-iteration "
