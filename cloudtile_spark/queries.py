@@ -1667,12 +1667,13 @@ def _init_dedup_queries() -> None:
         "straight-line CTE unrolling of the identical recurrence",
     )
 
+    def shared_passages_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        load_views(spark, sf_dir)
+        return spark.sql(dd.shared_passages_sql(
+            dd.SPARK, dd.SHARED_PASSAGE_CORPUS_CTE))
+
     REGISTRY["dedup_shared_passages"] = Query(
-        "dedup_shared_passages",
-        (lambda spark, sf_dir: (
-            load_views(spark, sf_dir),
-            spark.sql(dd.shared_passages_sql(
-                dd.SPARK, dd.SHARED_PASSAGE_CORPUS_CTE)))[1]),
+        "dedup_shared_passages", shared_passages_fn,
         dd.shared_passages_sql(dd.DUCK, dd.SHARED_PASSAGE_CORPUS_CTE),
         "exact shared-PASSAGE detection (the C4/RefinedWeb duplicated-span "
         "primitive): positional shingle hashes + rare-hash blocking + the "
@@ -1682,12 +1683,13 @@ def _init_dedup_queries() -> None:
         "hashing, never all-pairs",
     )
 
+    def containment_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        load_views(spark, sf_dir)
+        return spark.sql(dd.ngram_containment_sql(
+            dd.SPARK, dd.CONTAINMENT_CORPUS_CTE))
+
     REGISTRY["dedup_containment"] = Query(
-        "dedup_containment",
-        (lambda spark, sf_dir: (
-            load_views(spark, sf_dir),
-            spark.sql(dd.ngram_containment_sql(
-                dd.SPARK, dd.CONTAINMENT_CORPUS_CTE)))[1]),
+        "dedup_containment", containment_fn,
         dd.ngram_containment_sql(dd.DUCK, dd.CONTAINMENT_CORPUS_CTE),
         "asymmetric CONTAINMENT dedup (Broder coefficient, milli-quantized "
         "integers): finds documents embedded verbatim inside boilerplate "
