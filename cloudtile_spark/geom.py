@@ -367,8 +367,11 @@ def clip_line_to_rect(
 
 
 def _liang_barsky(p, q, xmin, ymin, xmax, ymax):
-    x0, y0 = p
-    x1, y1 = q
+    # Python floats: numpy scalars emit a RuntimeWarning when qq/pp
+    # overflows float64; plain floats overflow to inf silently, and the
+    # t0/t1 comparisons below already handle inf correctly.
+    x0, y0 = float(p[0]), float(p[1])
+    x1, y1 = float(q[0]), float(q[1])
     dx, dy = x1 - x0, y1 - y0
     t0, t1 = 0.0, 1.0
     for pp, qq in (

@@ -125,6 +125,10 @@ def decode_wav(payload: bytes) -> dict:
     while pos + 8 <= min(end, len(payload)):
         cid = payload[pos:pos + 4]
         size = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
+        if pos + 8 + size > len(payload):
+            raise ValueError(
+                f"truncated {cid!r} chunk: declares {size} bytes, "
+                f"only {len(payload) - pos - 8} remain")
         chunk = payload[pos + 8:pos + 8 + size]
         if cid == b"fmt ":
             if size < 16:
@@ -175,7 +179,9 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     guards a full real path)."""
 
     def one(b: bytes) -> list:
-        if b[:4] == b"RIFF":
+        # RIFF alone is ambiguous (AVI/WebP are RIFF too): require the
+        # WAVE form tag before taking the real audio decode path.
+        if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
             return wav_features(b).tolist()
         return _fake_features(b).tolist()
 

@@ -279,9 +279,18 @@ _POLY_LOCAL_SCHEMA = T.StructType([
 ])
 
 
-def _node_id(z: int, x: int, y: int, label: int) -> int:
-    assert label < (1 << 12), "per-tile label overflow"
-    return (((z << 20 | x) << 20) | y) << 12 | label
+def _label_bits(size: int) -> int:
+    """Bits needed for the worst-case per-tile component count: a
+    checkerboard has size*size/2 components, so the max local label is
+    size*size//2 - 1 (15 bits at the default size=256)."""
+    return max(1, (size * size // 2 - 1).bit_length())
+
+
+def _node_id(z: int, x: int, y: int, label: int, bits: int) -> int:
+    if label >= (1 << bits):
+        raise ValueError(
+            f"per-tile label {label} exceeds {bits}-bit node-id field")
+    return (((z << 20 | x) << 20) | y) << bits | label
 
 
 def polygonize_tiles(raster_df: DataFrame, size: int = GRID_SIZE) -> DataFrame:
@@ -292,6 +301,8 @@ def polygonize_tiles(raster_df: DataFrame, size: int = GRID_SIZE) -> DataFrame:
     component, n_pieces = number of (tile, local-label) fragments."""
     from .graph import connected_components
 
+    bits = _label_bits(size)
+
     def local_cc(key, pdf):
         z, x, y = int(key[0]), int(key[1]), int(key[2])
         mask = np.zeros((size, size), dtype=bool)
@@ -301,21 +312,21 @@ def polygonize_tiles(raster_df: DataFrame, size: int = GRID_SIZE) -> DataFrame:
         labels, n = label_runs(mask)
         rows = []
         for lbl in range(n):
-            rows.append(("S", _node_id(z, x, y, lbl),
+            rows.append(("S", _node_id(z, x, y, lbl, bits),
                          int((labels == lbl).sum()), None))
         # border labels -> canonical edge keys shared with the neighbor
         for i in range(size):
             if labels[0, i] >= 0:      # top edge pairs with (y-1) bottom
-                rows.append(("E", _node_id(z, x, y, int(labels[0, i])),
+                rows.append(("E", _node_id(z, x, y, int(labels[0, i]), bits),
                              0, f"v:{z}:{x}:{y - 1}:{i}"))
             if labels[size - 1, i] >= 0:   # bottom edge
-                rows.append(("E", _node_id(z, x, y, int(labels[size - 1, i])),
+                rows.append(("E", _node_id(z, x, y, int(labels[size - 1, i]), bits),
                              0, f"v:{z}:{x}:{y}:{i}"))
             if labels[i, 0] >= 0:      # left edge pairs with (x-1) right
-                rows.append(("E", _node_id(z, x, y, int(labels[i, 0])),
+                rows.append(("E", _node_id(z, x, y, int(labels[i, 0]), bits),
                              0, f"h:{z}:{x - 1}:{y}:{i}"))
             if labels[i, size - 1] >= 0:   # right edge
-                rows.append(("E", _node_id(z, x, y, int(labels[i, size - 1])),
+                rows.append(("E", _node_id(z, x, y, int(labels[i, size - 1]), bits),
                              0, f"h:{z}:{x}:{y}:{i}"))
         return pd.DataFrame(rows, columns=["kind", "nid", "n_pixels", "ekey"])
 

@@ -271,9 +271,11 @@ def kmeans_embeddings(embeddings, k: int = 8, iters: int = 5):
     return final, centroids, history
 
 
-def _assign_factory(cents):
+def _assign_factory(cents, quant: int = 1000):
     """Vectorized argmin assignment (lowest cid wins ties — np.argmin is
-    first-occurrence). Works for float64 and int64 centroid spaces."""
+    first-occurrence). Works for float64 and int64 centroid spaces; for
+    integer centroids `quant` is the fixed-point scale the vectors are
+    floored into (must match the scale the centroids were built at)."""
     import numpy as np
     import pandas as pd
 
@@ -283,7 +285,7 @@ def _assign_factory(cents):
         for pdf in batches:
             m = np.stack(pdf.embedding.to_numpy()).astype(np.float64)
             if integer:
-                m = np.floor(m * 1000.0).astype(np.int64)
+                m = np.floor(m * float(quant)).astype(np.int64)
             d2 = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
             cid = d2.argmin(axis=1)
             yield pd.DataFrame({
@@ -298,7 +300,7 @@ def _partials_schema(dim: int) -> str:
     return "cid int, n long, sse double, sums array<double>"
 
 
-def _partials_factory(cents, k: int, dim: int):
+def _partials_factory(cents, k: int, dim: int, quant: int = 1000):
     """Per-batch partial aggregation: assign, then emit one row per
     non-empty cid with (count, sse, per-dimension sums). The executor-side
     reduction is what removes the per-iteration shuffle."""
@@ -311,7 +313,7 @@ def _partials_factory(cents, k: int, dim: int):
         for pdf in batches:
             m = np.stack(pdf.embedding.to_numpy()).astype(np.float64)
             if integer:
-                m = np.floor(m * 1000.0).astype(np.int64)
+                m = np.floor(m * float(quant)).astype(np.int64)
             d2 = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
             cid = d2.argmin(axis=1)
             best = d2[np.arange(len(cid)), cid]
@@ -357,19 +359,20 @@ def kmeans_embeddings_exact(embeddings, k: int = 8, iters: int = 4,
     """
     import numpy as np
 
+    if quant <= 0:
+        raise ValueError(f"quant must be a positive integer, got {quant}")
     dim = len(embeddings.select("embedding").first()[0])
     init = (embeddings.orderBy("vec_id").limit(k)
             .select("embedding").collect())
     centroids = np.floor(
         np.array([r.embedding for r in init], dtype=np.float64) * quant
     ).astype(np.int64)
-    assert quant == 1000, "kernel quantization is fixed at milli-units"
     src = embeddings.select("vec_id", "embedding")
 
     history = []
     for _ in range(iters):
         partials = src.mapInPandas(
-            _partials_factory(centroids.copy(), k, dim),
+            _partials_factory(centroids.copy(), k, dim, quant),
             schema=_partials_schema(dim),
         ).collect()
         n, sse, sums = _reduce_partials(partials, k, dim, np.int64)
@@ -381,7 +384,7 @@ def kmeans_embeddings_exact(embeddings, k: int = 8, iters: int = 4,
             sums[nz].astype(np.float64) / n[nz, None]).astype(np.int64)
         centroids = new_c
     final = src.mapInPandas(
-        _assign_factory(centroids.copy()),
+        _assign_factory(centroids.copy(), quant),
         schema="vec_id long, cid int, dist2 long")
     return final, centroids, history
 

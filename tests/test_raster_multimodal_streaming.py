@@ -386,6 +386,13 @@ def test_wav_decode_roundtrip_and_malformed():
     with pytest.raises(ValueError):
         decode_wav(b"RIFF" + struct.pack("<I", len(body8)) + body8)
 
+    # a data chunk declaring more bytes than the buffer holds -> loud
+    # truncation error, never a silently short sample array
+    short = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+             + b"data" + struct.pack("<I", 4096) + b"ab")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_wav(b"RIFF" + struct.pack("<I", len(short) + 4096) + short)
+
     f = wav_features(make_wav(42))
     assert f.shape == (_FEATURE_DIM,) and (f >= 0).all() and (f <= 1).all()
 
@@ -408,6 +415,63 @@ def test_extract_media_features_real_wav_branch(spark):
     want_fake = mm._fake_features(b"not-audio-bytes")
     assert np.allclose(out[2].features, want_fake, atol=1e-7)
     assert out[1].n_bytes == len(mm.make_wav(1))
+
+
+def test_riff_non_wave_falls_back_to_fake(spark):
+    """AVI video and WebP images are RIFF containers too: a RIFF payload
+    whose form tag is not WAVE must take the fake-feature path instead of
+    crashing the whole mapInPandas job in decode_wav."""
+    import struct
+
+    import numpy as np
+
+    from cloudtile_spark.operators import multimodal as mm
+
+    avi = b"RIFF" + struct.pack("<I", 200) + b"AVI " + b"\x00" * 196
+    webp = b"RIFF" + struct.pack("<I", 100) + b"WEBP" + b"\x01" * 96
+    rows = [(10, "video", bytearray(avi), None),
+            (11, "image", bytearray(webp), None)]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, meta string")
+    out = {r.media_id: r for r in
+           mm.extract_media_features(media).collect()}
+    assert np.allclose(out[10].features, mm._fake_features(avi), atol=1e-7)
+    assert np.allclose(out[11].features, mm._fake_features(webp), atol=1e-7)
+
+
+def test_polygonize_node_id_guard():
+    """_node_id raises (not asserts) on label overflow, and the field
+    width covers the checkerboard worst case for the configured size."""
+    import pytest
+
+    from cloudtile_spark.operators.raster import _label_bits, _node_id
+
+    bits = _label_bits(256)
+    assert bits == 15  # 256*256/2 = 32768 components -> labels < 2**15
+    _node_id(4, 3, 5, (1 << bits) - 1, bits)  # worst case fits
+    with pytest.raises(ValueError, match="label"):
+        _node_id(4, 3, 5, 1 << bits, bits)
+
+
+def test_kmeans_exact_quant_threads_through(spark):
+    """kmeans_embeddings_exact honors quant: scale-invariant assignments,
+    centroids in the requested fixed-point scale, loud error on bad quant."""
+    import numpy as np
+    import pytest
+
+    from cloudtile_spark.operators.similarity import kmeans_embeddings_exact
+
+    rng = np.random.RandomState(7)
+    rows = [(int(i), rng.rand(4).tolist()) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a1, c1, _ = kmeans_embeddings_exact(emb, k=3, iters=2, quant=1000)
+    a2, c2, _ = kmeans_embeddings_exact(emb, k=3, iters=2, quant=100000)
+    m1 = {r.vec_id: r.cid for r in a1.collect()}
+    m2 = {r.vec_id: r.cid for r in a2.collect()}
+    assert m1 == m2  # finer quantization must not change the clustering
+    assert np.allclose(c2 / 100000.0, c1 / 1000.0, atol=2e-3)
+    with pytest.raises(ValueError, match="quant"):
+        kmeans_embeddings_exact(emb, k=3, iters=1, quant=0)
 
 
 def test_polygonize_matches_stitched_mosaic_bfs(spark):
