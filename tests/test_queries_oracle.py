@@ -45,6 +45,52 @@ def test_query_matches_oracle(spark, duck, name):
     assert sh == dh, "value hash mismatch"
 
 
+@pytest.mark.parametrize("name", ["tpch_q17", "tpch_q2", "tpch_q20"])
+def test_correlated_subqueries_decorrelate(spark, name):
+    """The correlated-subquery TPC-H shapes must be rewritten by Catalyst
+    into aggregate+join (decorrelation) — zero per-row subquery
+    re-execution in the optimized plan."""
+    df = REGISTRY[name].spark_fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "scalar-subquery" not in plan
+    assert "list-subquery" not in plan
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    assert "Subquery" not in physical
+
+
+def test_bpe_real_matches_reference_encoder(spark):
+    """The unrolled-SQL BPE tokenizer equals the independent ITERATIVE
+    reference encoder (highest-priority-first loop) on every document —
+    the single-pass-in-order expression is exact, not an approximation."""
+    from cloudtile_spark import bpe
+
+    assert len(bpe.MERGES) >= 32
+    # single-pass equivalence preconditions: unique products, no spaces
+    products = [a + b for a, b in bpe.MERGES]
+    assert len(set(products)) == len(products)
+    assert all(" " not in a + b for a, b in bpe.MERGES)
+
+    sdf = REGISTRY["token_count_bpe_real"].spark_fn(spark, SF_DIR)
+    got = {r.doc_id: r.n_tokens for r in sdf.collect()}
+    import duckdb as dk
+
+    con = dk.connect()
+    texts = con.execute(
+        f"SELECT doc_id, text FROM '{SF_DIR}/documents.parquet'").fetchall()
+    assert len(got) == len(texts)
+    for doc_id, text in texts:
+        assert got[doc_id] == bpe.token_count(text), doc_id
+    # the merges genuinely compress: fewer tokens than letters somewhere
+    fewer = sum(1 for r in sdf.collect()
+                if r.n_tokens < r.n_chars_letters)
+    assert fewer == len(got)
+
+    # fixture words incl. shapes the corpus never saw
+    for w in ["merge", "vector", "orderjoin", "aaaa", "qqq", "scanscan"]:
+        assert (bpe.encode_word_iterative(w)
+                == bpe.encode_word_inorder(w))
+
+
 def test_sketch_aggregates_error_bounds(spark):
     """tile_approx_stats is rows-only in the gate (sketches are
     engine-specific); here the sketches are bounded against exact twins:
