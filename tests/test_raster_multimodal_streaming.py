@@ -417,6 +417,62 @@ def test_extract_media_features_real_wav_branch(spark):
     assert out[1].n_bytes == len(mm.make_wav(1))
 
 
+def test_bmp_decode_roundtrip_and_malformed():
+    """The real image decode path: writer and parser are independent code
+    paths; the parser must recover the exact RGB pixels (undoing the
+    bottom-up row order, BGR channel order, and row padding) and reject
+    malformed payloads loudly."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from cloudtile_spark.operators.multimodal import (
+        bmp_features, bmp_pixels, decode_bmp, make_bmp, _FEATURE_DIM,
+    )
+
+    for mid in (0, 1, 7, 16, 33, 999, 12345):
+        assert np.array_equal(decode_bmp(make_bmp(mid)), bmp_pixels(mid))
+
+    # a TOP-DOWN file (negative height) must decode to the same pixels
+    bmp = bytearray(make_bmp(5))
+    w, h = struct.unpack("<ii", bmp[18:26])
+    stride = w * 3 + (4 - (w * 3) % 4) % 4
+    rows = bmp[54:]
+    flipped = b"".join(rows[(h - 1 - y) * stride:(h - y) * stride]
+                       for y in range(h))
+    bmp[22:26] = struct.pack("<i", -h)
+    assert np.array_equal(decode_bmp(bytes(bmp[:54]) + flipped),
+                          bmp_pixels(5))
+
+    with pytest.raises(ValueError):
+        decode_bmp(b"PNG-not-bmp" + b"\x00" * 60)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_bmp(make_bmp(5)[:-10])
+    bad = bytearray(make_bmp(5))
+    bad[28:30] = struct.pack("<H", 8)  # 8-bit palette: unsupported
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_bmp(bytes(bad))
+
+    f = bmp_features(make_bmp(42))
+    assert f.shape == (_FEATURE_DIM,) and (f >= 0).all() and (f <= 1).all()
+
+
+def test_extract_media_features_real_bmp_branch(spark):
+    """extract_media_features routes BM payloads through the REAL BMP
+    decoder (features = per-band grayscale means)."""
+    import numpy as np
+
+    from cloudtile_spark.operators import multimodal as mm
+
+    rows = [(1, "image", bytearray(mm.make_bmp(9)), None)]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, meta string")
+    out = mm.extract_media_features(media).collect()[0]
+    assert np.allclose(out.features, mm.bmp_features(mm.make_bmp(9)),
+                       atol=1e-7)
+
+
 def test_riff_non_wave_falls_back_to_fake(spark):
     """AVI video and WebP images are RIFF containers too: a RIFF payload
     whose form tag is not WAVE must take the fake-feature path instead of
