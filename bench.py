@@ -173,6 +173,13 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    # BENCH_ONLY=leg1,leg2 restricts to a subset (variance re-measurement
+    # without paying the full suite); empty/unset = everything.
+    only = {s for s in os.environ.get("BENCH_ONLY", "").split(",") if s}
+
+    def want(name: str) -> bool:
+        return not only or name in only
+
     spark = get_spark("bench", cores=cores, shuffle_partitions=cores)
 
     times: dict[str, float] = {}
@@ -181,34 +188,41 @@ def main() -> None:
     t0 = time.time()
     prepare_features(spark, cores)  # untimed setup; never repeated
     t_prep = time.time() - t0
-    t, n_tiles = timed(lambda: bench_pyramid(spark, cores))
-    times["pyramid_2m_z0_12"] = round(t, 3)
-    throughput["pyramid_tiles_per_sec"] = round(n_tiles / t, 1)
-    throughput["pyramid_features_per_sec"] = round(PAGES_N * 13 / t, 1)
+    if want("pyramid_2m_z0_12"):
+        t, n_tiles = timed(lambda: bench_pyramid(spark, cores))
+        times["pyramid_2m_z0_12"] = round(t, 3)
+        throughput["pyramid_tiles_per_sec"] = round(n_tiles / t, 1)
+        throughput["pyramid_features_per_sec"] = round(PAGES_N * 13 / t, 1)
 
-    t, n_rows = timed(lambda: bench_pip(spark, cores))
-    times["pip_2m"] = round(t, 3)
-    throughput["pip_join_rows_per_sec"] = round(n_rows / t, 1)
+    if want("pip_2m"):
+        t, n_rows = timed(lambda: bench_pip(spark, cores))
+        times["pip_2m"] = round(t, 3)
+        throughput["pip_join_rows_per_sec"] = round(n_rows / t, 1)
 
-    t, n_rows = timed(lambda: bench_pip_poly(spark, cores), warmup=True)
-    times["pip_poly_2m"] = round(t, 3)
-    throughput["exact_pip_rows_per_sec"] = round(n_rows / t, 1)
+    if want("pip_poly_2m"):
+        t, n_rows = timed(lambda: bench_pip_poly(spark, cores), warmup=True)
+        times["pip_poly_2m"] = round(t, 3)
+        throughput["exact_pip_rows_per_sec"] = round(n_rows / t, 1)
 
-    t, n_rows = timed(lambda: bench_pip_shuffle(spark, cores))
-    times["pip_shuffle_2m"] = round(t, 3)
-    throughput["shuffle_pip_rows_per_sec"] = round(n_rows / t, 1)
+    if want("pip_shuffle_2m"):
+        t, n_rows = timed(lambda: bench_pip_shuffle(spark, cores))
+        times["pip_shuffle_2m"] = round(t, 3)
+        throughput["shuffle_pip_rows_per_sec"] = round(n_rows / t, 1)
 
-    t, n_rows = timed(lambda: bench_knn(spark, cores), warmup=True)
-    times["knn_512q"] = round(t, 3)
-    throughput["knn_candidates_per_sec"] = round(KNN_N * 512 / t, 1)
+    if want("knn_512q"):
+        t, n_rows = timed(lambda: bench_knn(spark, cores), warmup=True)
+        times["knn_512q"] = round(t, 3)
+        throughput["knn_candidates_per_sec"] = round(KNN_N * 512 / t, 1)
 
     # generation+extraction leg (synthetic html build + geo extract;
     # extraction alone on stored parquet runs ~1M pages/s)
-    t, n_rows = timed(lambda: extract_features(
-        synth_pages(spark, PAGES_N // 2, partitions=cores * 2)
-        .drop("page_id")).count())
-    times["gen_extract_1m_pages"] = round(t, 3)
-    throughput["gen_extract_pages_per_sec"] = round((PAGES_N // 2) / t, 1)
+    if want("gen_extract_1m_pages"):
+        t, n_rows = timed(lambda: extract_features(
+            synth_pages(spark, PAGES_N // 2, partitions=cores * 2)
+            .drop("page_id")).count())
+        times["gen_extract_1m_pages"] = round(t, 3)
+        throughput["gen_extract_pages_per_sec"] = round(
+            (PAGES_N // 2) / t, 1)
 
     from cloudtile_spark import caching
 
@@ -221,6 +235,8 @@ def main() -> None:
         return df.count()
 
     for name in REGISTRY_QUERIES:
+        if not want(name):
+            continue
         q = REGISTRY[name]
         t, _ = timed(lambda: _materialize(q.spark_fn(spark, sf_dir), name),
                      warmup=name in WARM_LEGS)

@@ -3,6 +3,12 @@ in Spark AND its DuckDB oracle on the same parquet, compare row count, sorted
 schema, and an order-insensitive value hash.
 
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
+       python tools/check_correctness.py --twice [sf_dir] [query ...]
+
+--twice runs each selected Spark query TWICE back-to-back in the same
+session and fails on any hash drift between the invocations — catches
+caching/staged-view state bugs of the kind the serial contract in
+caching.py documents (r4 verdict Next #8).
 """
 
 from __future__ import annotations
@@ -78,8 +84,12 @@ def table_hash(cols: list[str], rows: list[tuple]) -> tuple[str, int]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    twice = "--twice" in args
+    if twice:
+        args.remove("--twice")
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -97,6 +107,16 @@ def main() -> int:
             stypes = {f.name.lower(): type_family(f.dataType.simpleString())
                       for f in sdf.schema.fields}
             sh, sn = table_hash(scols, srows)
+            if twice:
+                sdf2 = q.spark_fn(spark, sf_dir)
+                sh2, sn2 = table_hash(
+                    [f.lower() for f in sdf2.columns],
+                    [tuple(r) for r in sdf2.collect()])
+                if (sh2, sn2) != (sh, sn):
+                    failures.append(name)
+                    print(f"FAIL {name}: second invocation drift "
+                          f"rows {sn}->{sn2} hash {sh[:12]}->{sh2[:12]}")
+                    continue
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: spark error: {str(e)[:300]}")
