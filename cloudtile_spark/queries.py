@@ -2697,6 +2697,164 @@ _shared_sql(
 )
 
 
+# Q13 shape: LEFT OUTER JOIN with a filter INSIDE the join condition (the
+# q13 signature — moving it to WHERE would turn the join inner and lose
+# zero-order customers), then a two-level aggregation (count per customer,
+# then the distribution of those counts).
+_shared_sql(
+    "tpch_q13",
+    """
+    WITH c_orders AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey
+       AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey)
+    SELECT c_count, count(*) AS custdist
+    FROM c_orders GROUP BY c_count
+    """,
+    doc="TPC-H Q13 shape: customer-order-count distribution — left outer "
+        "join with the predicate in the JOIN condition (keeps zero-order "
+        "customers), double aggregation",
+)
+
+# Q14 shape: promo-revenue share — conditional aggregation producing a
+# ratio. The ratio is emitted in integer basis points via floor of an IEEE
+# double quotient (bit-identical across engines, same trick as q17).
+_shared_sql(
+    "tpch_q14",
+    f"""
+    WITH r AS (
+      SELECT cast(sum(CASE WHEN p.p_type = 'PROMO' THEN l.c ELSE 0 END)
+                  as bigint) AS promo_c100,
+             cast(sum(l.c) as bigint) AS total_c100
+      FROM (SELECT l_partkey,
+                   {_CENTS_PRICE} * (100 - {_CENTS_DISC}) AS c
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1995-07-01 00:00:00') l
+      JOIN part p ON p.p_partkey = l.l_partkey)
+    SELECT promo_c100, total_c100,
+           cast(floor(cast(promo_c100 as double) * 10000 / total_c100)
+                as bigint) AS promo_bp
+    FROM r
+    """,
+    doc="TPC-H Q14 shape: promo revenue share — CASE-conditional aggregate "
+        "over a date-windowed fact join; share in integer basis points "
+        "(floor of the IEEE quotient)",
+)
+
+# Q18 shape: large-volume orders — IN over a grouped-HAVING subquery on the
+# SAME fact table (semi-join against an aggregate of itself), then a
+# deterministic top-100.
+_shared_sql(
+    "tpch_q18",
+    """
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           cast(round(o.o_totalprice * 100, 0) as bigint)
+             AS totalprice_c100,
+           cast(sum(cast(round(l.l_quantity * 100, 0) as bigint))
+                as bigint) AS sum_qty_c100
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING sum(cast(round(l_quantity * 100, 0) as bigint)) > 15000)
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_totalprice
+    ORDER BY totalprice_c100 DESC, o.o_orderkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q18 shape: large-volume orders — IN over a grouped-HAVING "
+        "self-aggregate of the fact table (aggregate semi-join), "
+        "deterministic top-100 (orderkey tiebreak)",
+)
+
+# Q19 shape: three-arm DISJUNCTION of conjunctive brand/size/quantity
+# bands — the OR-predicate pushdown/CNF shape none of the other TPC-H
+# queries exercise.
+_shared_sql(
+    "tpch_q19",
+    f"""
+    SELECT {_REVENUE_CENTS.replace('l_extendedprice', 'l.l_extendedprice')
+                          .replace('l_discount', 'l.l_discount')}
+             AS revenue_c100,
+           count(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 21)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 40)
+    """,
+    doc="TPC-H Q19 shape: disjunction of three conjunctive brand/size/"
+        "quantity bands over the part-lineitem join (OR pushdown / CNF)",
+)
+
+# Q21 shape: EXISTS + NOT EXISTS, both correlated on the order key with a
+# supplier inequality. The synthetic schema has no receipt/commit dates, so
+# l_shipdate is the lateness proxy: 'this supplier shipped strictly last in
+# a multi-supplier order' — identical plan shape (two correlated
+# existential subqueries over the same fact table).
+_shared_sql(
+    "tpch_q21",
+    """
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus = 'F' AND n.n_regionkey = 1
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 100
+    """,
+    doc="TPC-H Q21 shape: correlated EXISTS + NOT EXISTS pair over the "
+        "same fact table (semi + anti join after decorrelation); shipdate "
+        "stands in for the missing receipt/commit dates",
+)
+
+# Q22 shape: uncorrelated scalar AVG subquery as a filter bound + a
+# correlated NOT EXISTS, grouped by a derived code (nationkey bucket in
+# place of the phone-prefix substring the synthetic schema lacks).
+_shared_sql(
+    "tpch_q22",
+    """
+    SELECT c.c_nationkey % 5 AS cntry_bucket,
+           count(*) AS numcust,
+           cast(sum(cast(round(c.c_acctbal * 100, 0) as bigint))
+                as bigint) AS totacctbal_c100
+    FROM customer c
+    WHERE cast(round(c.c_acctbal * 100, 0) as bigint) > (
+        SELECT cast(floor(
+                 cast(sum(cast(round(c2.c_acctbal * 100, 0) as bigint))
+                      as double) / count(*)) as bigint)
+        FROM customer c2 WHERE c2.c_acctbal > 0.0)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c.c_nationkey % 5
+    """,
+    doc="TPC-H Q22 shape: uncorrelated scalar AVG-threshold subquery + "
+        "correlated NOT EXISTS with an extra predicate (anti join), "
+        "grouped by a derived country bucket (the synthetic customers all "
+        "have orders, so 'no urgent order' plays the no-orders role); "
+        "average in exact integer cents via floored IEEE quotient",
+)
+
+
 _JOURNEY_W = ("OVER (PARTITION BY user_id ORDER BY ts, event_id)")
 
 

@@ -173,6 +173,26 @@ def main() -> None:
         f"- InMemoryTableScan (staged codes reuse): "
         f"{s.count('InMemoryTableScan') + s.count('InMemoryRelation')}\n"
     )
+    # correlated subqueries (round 5): Catalyst must DECORRELATE — the
+    # scalar/IN subqueries rewrite to aggregate+join; a surviving subquery
+    # node would mean per-row re-execution (a disaster at 100 TB)
+    for name in ("tpch_q17", "tpch_q2", "tpch_q20"):
+        df = REGISTRY[name].spark_fn(spark, sf)
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        phys = df._jdf.queryExecution().executedPlan().toString()
+        subq = (opt.count("Subquery") + phys.count("Subquery")
+                + phys.count("InSubquery"))
+        s = plan_of(df)
+        out.append(
+            f"## {name} (correlated subquery decorrelation)\n\n"
+            f"- Subquery nodes surviving in optimized+physical plans: "
+            f"**{subq}** (0 = rewritten to aggregate+join, no per-row "
+            f"re-execution)\n"
+            f"- join strategies after rewrite: "
+            f"{sorted({w for w in s.split() if w.endswith('Join')})}\n"
+            f"- HashAggregate: {s.count('HashAggregate')}\n"
+        )
+
     # polygon-general overlay (round 4): bbox broadcast prefilter, then a
     # map-side Arrow kernel — no shuffle until the final per-zone agg
     s = plan_of(REGISTRY["zone_overlap_area_poly"].spark_fn(spark, sf))
