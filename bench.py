@@ -135,6 +135,19 @@ def bench_pip_poly(spark, cores):
     return pip_join(feats, synth_zones(100)).count()
 
 
+def bench_pip_poly_sql(spark, cores):
+    """Same exact-PIP workload as bench_pip_poly but through the all-JVM
+    unrolled ray-cast path (pip_join_codegen): no Python workers, no Arrow
+    round trips — measures what moving the refine into WholeStageCodegen
+    buys, and is immune to the Python-worker wakeup jitter documented in
+    BENCH/BANDWIDTH.md."""
+    from cloudtile_spark.operators.joins import pip_join_codegen
+    from cloudtile_spark.sources.zones import synth_zones
+
+    feats = spark.read.parquet(FEATURES_DIR)
+    return pip_join_codegen(feats, synth_zones(100)).count()
+
+
 def bench_knn(spark, cores):
     from cloudtile_spark import caching
     from cloudtile_spark.operators.joins import knn_join_adaptive
@@ -203,6 +216,11 @@ def main() -> None:
         t, n_rows = timed(lambda: bench_pip_poly(spark, cores), warmup=True)
         times["pip_poly_2m"] = round(t, 3)
         throughput["exact_pip_rows_per_sec"] = round(n_rows / t, 1)
+
+    if want("pip_poly_sql_2m"):
+        t, n_rows = timed(lambda: bench_pip_poly_sql(spark, cores))
+        times["pip_poly_sql_2m"] = round(t, 3)
+        throughput["codegen_pip_rows_per_sec"] = round(n_rows / t, 1)
 
     if want("pip_shuffle_2m"):
         t, n_rows = timed(lambda: bench_pip_shuffle(spark, cores))

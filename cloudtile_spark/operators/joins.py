@@ -148,6 +148,71 @@ def pip_join_cells(
     return cand.mapInPandas(refine, schema=out_schema)
 
 
+def pip_join_codegen(points: DataFrame, zones_pdf: pd.DataFrame) -> DataFrame:
+    """Exact polygon PIP with the refine stage ENTIRELY JVM-side — the
+    third physical strategy beside :func:`pip_join` (Arrow refine) and
+    :func:`pip_join_shuffle` (cogroup refine), same output bit-for-bit.
+
+    The ring table is flattened to fixed coordinate columns
+    (x0..x{V-1}, y0..y{V-1}, padded by repeating vertex 0 — padded edges
+    are zero-length and contribute no crossings) and broadcast; the
+    even-odd ray cast is ONE generic unrolled expression over those
+    columns (V conditional terms + a parity test), so the whole join +
+    refine runs inside WholeStageCodegen: no Python workers, no Arrow
+    round trips, codegen size independent of the zone count.
+
+    Bit-exactness: each edge term evaluates
+    ``lon < x1 + (lat - y1) / (y2 - y1) * (x2 - x1)`` — the same IEEE
+    operations in the same order as geom.points_in_polygon's numpy
+    kernel, so the two paths agree on every double (parity pytest).
+    Scale: the point side streams (bbox range-join prefilter, broadcast
+    zone side only); at 1000 executors this is scan -> broadcast-join ->
+    filter with zero extra shuffles.
+    """
+    rows = []
+    max_v = 0
+    rings = []
+    for _, r in zones_pdf.iterrows():
+        ring = np.asarray(r.ring, dtype=np.float64)
+        if np.array_equal(ring[0], ring[-1]):
+            ring = ring[:-1]
+        rings.append((int(r.zone_id), ring))
+        max_v = max(max_v, len(ring))
+    for zid, ring in rings:
+        xmin, ymin, xmax, ymax = geom.polygon_bbox(ring)
+        xs = list(ring[:, 0]) + [float(ring[0, 0])] * (max_v - len(ring))
+        ys = list(ring[:, 1]) + [float(ring[0, 1])] * (max_v - len(ring))
+        rows.append((zid, xmin, xmax, ymin, ymax,
+                     *[float(v) for v in xs], *[float(v) for v in ys]))
+    spark = points.sparkSession
+    cols = (
+        "zone_id long, xmin double, xmax double, ymin double, ymax double, "
+        + ", ".join(f"x{i} double" for i in range(max_v)) + ", "
+        + ", ".join(f"y{i} double" for i in range(max_v))
+    )
+    zt = spark.createDataFrame(rows, cols)
+
+    terms = []
+    for i in range(max_v):
+        j = (i + 1) % max_v
+        terms.append(
+            f"(CASE WHEN ((y{i} > lat) != (y{j} > lat)) "
+            f"AND (lon < x{i} + (lat - y{i}) / (y{j} - y{i})"
+            f" * (x{j} - x{i})) THEN 1 ELSE 0 END)"
+        )
+    inside = f"(({' + '.join(terms)}) % 2) = 1"
+
+    return (
+        points.join(
+            F.broadcast(zt),
+            (points.lon >= zt.xmin) & (points.lon < zt.xmax)
+            & (points.lat >= zt.ymin) & (points.lat < zt.ymax),
+        )
+        .where(F.expr(inside))
+        .select("feature_id", "lon", "lat", "zone_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # kNN join (cell k-ring expansion + certified-exact fallback)
 # ---------------------------------------------------------------------------

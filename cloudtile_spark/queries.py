@@ -1033,6 +1033,28 @@ def _pip_poly_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "pip_codegen_join",
+    _pip_poly_oracle(),
+    doc="exact PIP with the ray-cast refine as ONE unrolled JVM expression "
+        "over a broadcast flattened-ring table (operators/joins."
+        "pip_join_codegen): whole-stage codegen end-to-end, zero Python/"
+        "Arrow round trips — fourth physical strategy, same independent "
+        "convex-half-plane oracle, bit-identical to pip_poly_join",
+)
+def _pip_codegen_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.joins import pip_join_codegen
+    from .sources.zones import synth_zones
+
+    pts = docs_geo(spark, sf_dir).withColumnRenamed("doc_id", "feature_id")
+    res = pip_join_codegen(pts, synth_zones(25))
+    return res.groupBy("zone_id").agg(
+        F.count("*").alias("n_points"),
+        F.min("feature_id").alias("min_fid"),
+        F.max("feature_id").alias("max_fid"),
+    )
+
+
+@_register(
     "pip_cells_join",
     _pip_poly_oracle(),
     doc="PIP via cell-prefilter EQUI-join (the north star's named join "

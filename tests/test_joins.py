@@ -132,6 +132,30 @@ def test_pip_cells_equals_pip_bbox_path(spark, feats):
         assert a == b, f"res={res}"
 
 
+def test_pip_codegen_equals_arrow_path(spark, feats):
+    """The all-JVM unrolled ray-cast (pip_join_codegen) must equal the
+    Arrow-refine path bit-for-bit — same IEEE ops in the same order — and
+    its plan must contain zero Python/Arrow operators (the refine runs
+    inside codegen, immune to Python-worker wakeup jitter)."""
+    from cloudtile_spark.operators.joins import pip_join_codegen
+
+    zones = synth_zones(25)
+    a = sorted(map(tuple, pip_join(feats, zones).collect()))
+    b = sorted(map(tuple, pip_join_codegen(feats, zones).collect()))
+    assert a == b
+    # uneven vertex counts: a triangle zone forces vertex-0 padding; the
+    # padded zero-length edges must contribute no crossings
+    tri = zones.head(2).copy()
+    tri.at[1, "ring"] = tri.at[1, "ring"][:4]  # 3 verts + close
+    a = sorted(map(tuple, pip_join(feats, tri).collect()))
+    b = sorted(map(tuple, pip_join_codegen(feats, tri).collect()))
+    assert a == b
+    plan = pip_join_codegen(feats, zones)._jdf.queryExecution() \
+        .executedPlan().toString()
+    for marker in ("MapInPandas", "ArrowEval", "BatchEval", "PythonUDF"):
+        assert marker not in plan
+
+
 @pytest.fixture()
 def no_broadcast(spark):
     """Force every data join to a non-broadcast strategy (the 'both sides

@@ -45,7 +45,8 @@ def test_query_matches_oracle(spark, duck, name):
     assert sh == dh, "value hash mismatch"
 
 
-@pytest.mark.parametrize("name", ["tpch_q17", "tpch_q2", "tpch_q20"])
+@pytest.mark.parametrize("name", ["tpch_q17", "tpch_q2", "tpch_q20",
+                                  "tpch_q18", "tpch_q21"])
 def test_correlated_subqueries_decorrelate(spark, name):
     """The correlated-subquery TPC-H shapes must be rewritten by Catalyst
     into aggregate+join (decorrelation) — zero per-row subquery
@@ -56,6 +57,26 @@ def test_correlated_subqueries_decorrelate(spark, name):
     assert "list-subquery" not in plan
     physical = df._jdf.queryExecution().executedPlan().toString()
     assert "Subquery" not in physical
+
+
+def test_q22_anti_join_decorrelates_scalar_executes_once(spark):
+    """q22 mixes both subquery kinds: the CORRELATED NOT EXISTS must
+    decorrelate to an anti join (no per-row re-execution), while the
+    UNCORRELATED scalar AVG bound legitimately survives as a physical
+    Subquery — executed exactly once, not per row (that is the correct
+    100 TB plan: one tiny aggregate job feeding a literal)."""
+    df = REGISTRY["tpch_q22"].spark_fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "exists-subquery" not in plan
+    assert "LeftAnti" in plan
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    # the only surviving subquery is the once-executed scalar bound: ONE
+    # distinct subquery id, however many times the plan text references it
+    # (filter expr, pushed DataFilters, reuse)
+    import re
+
+    ids = set(re.findall(r"Subquery subquery#(\d+)", physical))
+    assert len(ids) == 1
 
 
 def test_bpe_real_matches_reference_encoder(spark):

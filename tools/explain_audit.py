@@ -173,6 +173,22 @@ def main() -> None:
         f"- InMemoryTableScan (staged codes reuse): "
         f"{s.count('InMemoryTableScan') + s.count('InMemoryRelation')}\n"
     )
+    # codegen PIP (round 5): the refine as ONE unrolled JVM expression —
+    # the plan must contain ZERO Python/Arrow operators (vs pip_poly_join's
+    # MapInPandas refine; measured 3x faster and jitter-immune at sf0.1)
+    s = plan_of(REGISTRY["pip_codegen_join"].spark_fn(spark, sf))
+    py_ops = sum(s.count(m) for m in
+                 ("MapInPandas", "ArrowEval", "BatchEval", "PythonUDF"))
+    out.append(
+        f"## pip_codegen_join (all-JVM unrolled ray-cast)\n\n"
+        f"- Python/Arrow operators in the plan: **{py_ops}** (0 = refine "
+        f"runs inside whole-stage codegen; no Python workers to wake)\n"
+        f"- BroadcastExchange operators: {s.count('BroadcastExchange')} "
+        f"(the flattened-ring zone table only; points stream)\n"
+        f"- join strategies: "
+        f"{sorted({w for w in s.split() if w.endswith('Join')})}\n"
+    )
+
     # correlated subqueries (round 5): Catalyst must DECORRELATE — the
     # scalar/IN subqueries rewrite to aggregate+join; a surviving subquery
     # node would mean per-row re-execution (a disaster at 100 TB)
