@@ -148,6 +148,45 @@ def pip_join_cells(
     return cand.mapInPandas(refine, schema=out_schema)
 
 
+def _flat_ring_table(spark, zones_pdf: pd.DataFrame):
+    """(zone table DataFrame, inside-test SQL expr) for the unrolled
+    JVM ray-cast: rings flattened to x0..x{V-1}/y0..y{V-1} columns (vertex-0
+    padding — padded zero-length edges contribute no crossings) plus the
+    bbox, and the even-odd crossing test as ONE generic expression over
+    those columns (same IEEE op order as geom.points_in_polygon)."""
+    rows = []
+    max_v = 0
+    rings = []
+    for _, r in zones_pdf.iterrows():
+        ring = np.asarray(r.ring, dtype=np.float64)
+        if np.array_equal(ring[0], ring[-1]):
+            ring = ring[:-1]
+        rings.append((int(r.zone_id), ring))
+        max_v = max(max_v, len(ring))
+    for zid, ring in rings:
+        xmin, ymin, xmax, ymax = geom.polygon_bbox(ring)
+        xs = list(ring[:, 0]) + [float(ring[0, 0])] * (max_v - len(ring))
+        ys = list(ring[:, 1]) + [float(ring[0, 1])] * (max_v - len(ring))
+        rows.append((zid, xmin, xmax, ymin, ymax,
+                     *[float(v) for v in xs], *[float(v) for v in ys]))
+    cols = (
+        "zone_id long, xmin double, xmax double, ymin double, ymax double, "
+        + ", ".join(f"x{i} double" for i in range(max_v)) + ", "
+        + ", ".join(f"y{i} double" for i in range(max_v))
+    )
+    zt = spark.createDataFrame(rows, cols)
+    terms = []
+    for i in range(max_v):
+        j = (i + 1) % max_v
+        terms.append(
+            f"(CASE WHEN ((y{i} > lat) != (y{j} > lat)) "
+            f"AND (lon < x{i} + (lat - y{i}) / (y{j} - y{i})"
+            f" * (x{j} - x{i})) THEN 1 ELSE 0 END)"
+        )
+    inside = f"(({' + '.join(terms)}) % 2) = 1"
+    return zt, inside
+
+
 def pip_join_codegen(points: DataFrame, zones_pdf: pd.DataFrame) -> DataFrame:
     """Exact polygon PIP with the refine stage ENTIRELY JVM-side — the
     third physical strategy beside :func:`pip_join` (Arrow refine) and
@@ -169,45 +208,52 @@ def pip_join_codegen(points: DataFrame, zones_pdf: pd.DataFrame) -> DataFrame:
     zone side only); at 1000 executors this is scan -> broadcast-join ->
     filter with zero extra shuffles.
     """
-    rows = []
-    max_v = 0
-    rings = []
-    for _, r in zones_pdf.iterrows():
-        ring = np.asarray(r.ring, dtype=np.float64)
-        if np.array_equal(ring[0], ring[-1]):
-            ring = ring[:-1]
-        rings.append((int(r.zone_id), ring))
-        max_v = max(max_v, len(ring))
-    for zid, ring in rings:
-        xmin, ymin, xmax, ymax = geom.polygon_bbox(ring)
-        xs = list(ring[:, 0]) + [float(ring[0, 0])] * (max_v - len(ring))
-        ys = list(ring[:, 1]) + [float(ring[0, 1])] * (max_v - len(ring))
-        rows.append((zid, xmin, xmax, ymin, ymax,
-                     *[float(v) for v in xs], *[float(v) for v in ys]))
-    spark = points.sparkSession
-    cols = (
-        "zone_id long, xmin double, xmax double, ymin double, ymax double, "
-        + ", ".join(f"x{i} double" for i in range(max_v)) + ", "
-        + ", ".join(f"y{i} double" for i in range(max_v))
-    )
-    zt = spark.createDataFrame(rows, cols)
-
-    terms = []
-    for i in range(max_v):
-        j = (i + 1) % max_v
-        terms.append(
-            f"(CASE WHEN ((y{i} > lat) != (y{j} > lat)) "
-            f"AND (lon < x{i} + (lat - y{i}) / (y{j} - y{i})"
-            f" * (x{j} - x{i})) THEN 1 ELSE 0 END)"
-        )
-    inside = f"(({' + '.join(terms)}) % 2) = 1"
-
+    zt, inside = _flat_ring_table(points.sparkSession, zones_pdf)
     return (
         points.join(
             F.broadcast(zt),
             (points.lon >= zt.xmin) & (points.lon < zt.xmax)
             & (points.lat >= zt.ymin) & (points.lat < zt.ymax),
         )
+        .where(F.expr(inside))
+        .select("feature_id", "lon", "lat", "zone_id")
+    )
+
+
+def pip_join_shuffle_codegen(
+    points: DataFrame, zones_pdf: pd.DataFrame, res: int = 7,
+) -> DataFrame:
+    """Exact polygon PIP with NO broadcast and NO Python: the shuffle-only
+    twin of :func:`pip_join_codegen` and the all-JVM twin of
+    :func:`pip_join_shuffle` — same output as both, bit-for-bit.
+
+    Plan: cell-cover (cell, zone_id) table equi-JOINED on the point's cell
+    id (SortMergeJoin when broadcast is disabled), then an equi-join on
+    zone_id against the flattened-ring table, then the unrolled even-odd
+    ray-cast filter. Every stage is a plain hash-partitioned shuffle +
+    codegen'd filter: nothing to broadcast, no Python workers to wake —
+    the 'both sides 100 TB' regime with zero latency-sensitive operators
+    (the construct BENCH/BANDWIDTH.md shows dominates local-mode scaling
+    noise in the cogroup variant).
+    """
+    spark = points.sparkSession
+    cover_rows = []
+    for _, r in zones_pdf.iterrows():
+        ring = np.asarray(r.ring, dtype=np.float64)
+        xmin, ymin, xmax, ymax = geom.polygon_bbox(ring)
+        for x, y in tiles.bbox_tile_cover(xmin, ymin, xmax, ymax, res):
+            cell_id = (int(tiles.morton(np.array([x]), np.array([y]))[0])
+                       << 5) | res
+            cover_rows.append((cell_id, int(r.zone_id)))
+    cover = spark.createDataFrame(cover_rows, "cell long, zone_id long")
+    zt, inside = _flat_ring_table(spark, zones_pdf)
+
+    from .. import cells as _cells
+
+    pts = points.withColumn("cell", F.expr(_cells.cell_sql("lon", "lat", res)))
+    return (
+        pts.join(cover, "cell")
+        .join(zt.drop("xmin", "xmax", "ymin", "ymax"), "zone_id")
         .where(F.expr(inside))
         .select("feature_id", "lon", "lat", "zone_id")
     )

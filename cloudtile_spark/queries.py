@@ -1055,6 +1055,28 @@ def _pip_codegen_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "pip_shuffle_codegen_join",
+    _pip_poly_oracle(),
+    doc="exact PIP with NO broadcast and NO Python: cell-cover equi-join + "
+        "flattened-ring equi-join + unrolled JVM ray-cast (operators/joins."
+        "pip_join_shuffle_codegen) — the shuffle-only twin of "
+        "pip_codegen_join and the all-JVM twin of pip_shuffle_join; same "
+        "independent oracle",
+)
+def _pip_shuffle_codegen_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.joins import pip_join_shuffle_codegen
+    from .sources.zones import synth_zones
+
+    pts = docs_geo(spark, sf_dir).withColumnRenamed("doc_id", "feature_id")
+    res = pip_join_shuffle_codegen(pts, synth_zones(25), res=7)
+    return res.groupBy("zone_id").agg(
+        F.count("*").alias("n_points"),
+        F.min("feature_id").alias("min_fid"),
+        F.max("feature_id").alias("max_fid"),
+    )
+
+
+@_register(
     "pip_cells_join",
     _pip_poly_oracle(),
     doc="PIP via cell-prefilter EQUI-join (the north star's named join "

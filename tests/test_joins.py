@@ -156,6 +156,28 @@ def test_pip_codegen_equals_arrow_path(spark, feats):
         assert marker not in plan
 
 
+def test_pip_shuffle_codegen_no_broadcast_no_python(spark, feats,
+                                                    no_broadcast):
+    """The shuffle-only all-JVM PIP must (a) equal the broadcast Arrow path
+    exactly, (b) plan with ZERO BroadcastExchange at threshold=-1, and
+    (c) contain zero Python/Arrow operators — no broadcast to build, no
+    Python workers to wake (the two latency-sensitive constructs)."""
+    from cloudtile_spark.operators.joins import pip_join_shuffle_codegen
+
+    zones = synth_zones(25)
+    a = sorted(map(tuple, pip_join(feats, zones).collect()))
+    for res in (6, 8):
+        b = sorted(map(tuple,
+                       pip_join_shuffle_codegen(feats, zones,
+                                                res=res).collect()))
+        assert a == b, f"res={res}"
+    plan = pip_join_shuffle_codegen(feats, zones, res=7) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" not in plan
+    for marker in ("MapInPandas", "ArrowEval", "BatchEval", "PythonUDF"):
+        assert marker not in plan
+
+
 @pytest.fixture()
 def no_broadcast(spark):
     """Force every data join to a non-broadcast strategy (the 'both sides

@@ -144,6 +144,25 @@ def run_at(cores: int) -> dict:
         n_sh = pip_join_shuffle(feats, zdf, res=7, salt_buckets=8).count()
         st.append(time.time() - t0)
     t_shuffle = min(st)
+    # no-broadcast ALL-JVM PIP leg (round 5): the same shuffle-only regime
+    # with the refine as an unrolled codegen expression — zero broadcast
+    # AND zero Python workers. BENCH/BANDWIDTH.md attributes the cogroup
+    # leg's sub-0.8 local readings to hypervisor wakeup jitter against its
+    # Python round trips; this leg is the controlled experiment (same
+    # join keys, same output, no Python) — if the attribution is right,
+    # it should hold the bar when the cogroup leg doesn't.
+    from cloudtile_spark.operators.joins import pip_join_shuffle_codegen
+    from cloudtile_spark.sources.zones import synth_zones as _sz
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    zpdf = _sz(200)
+    pip_join_shuffle_codegen(feats.limit(50_000), zpdf, res=7).count()
+    jt2, n_sh2 = [], 0
+    for _ in range(3):
+        t0 = time.time()
+        n_sh2 = pip_join_shuffle_codegen(feats, zpdf, res=7).count()
+        jt2.append(time.time() - t0)
+    t_shuffle_cg = min(jt2)
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     # as-of join leg (round 3): temporal enrichment — union+window, ONE
     # shuffle on the key; input derived deterministically from the feature
     # table (no rand()), ~20% facts enriched from ~80% state rows
@@ -180,6 +199,9 @@ def run_at(cores: int) -> dict:
         "shuffle_pip_sec": round(t_shuffle, 2),
         "shuffle_pip_rows": n_sh,
         "shuffle_pip_rows_per_sec": round(n_sh / t_shuffle, 1),
+        "shuffle_cg_sec": round(t_shuffle_cg, 2),
+        "shuffle_cg_rows": n_sh2,
+        "shuffle_cg_rows_per_sec": round(n_sh2 / t_shuffle_cg, 1),
         "asof_sec": round(t_asof, 2),
         "asof_rows": n_asof,
         "asof_facts_per_sec": round(n_asof / t_asof, 1),
@@ -205,10 +227,13 @@ def main() -> None:
     eff_pyr = (lo["pyramid_sec"] / hi["pyramid_sec"]) / ratio
     eff_join = (lo["join_sec"] / hi["join_sec"]) / ratio
     eff_sh = (lo["shuffle_pip_sec"] / hi["shuffle_pip_sec"]) / ratio
+    eff_cg = (lo["shuffle_cg_sec"] / hi["shuffle_cg_sec"]) / ratio
     eff_asof = (lo["asof_sec"] / hi["asof_sec"]) / ratio
     identical = lo["fingerprint"] == hi["fingerprint"] and \
         lo["pyramid_tiles"] == hi["pyramid_tiles"] and \
         lo["shuffle_pip_rows"] == hi["shuffle_pip_rows"] and \
+        lo["shuffle_cg_rows"] == lo["shuffle_pip_rows"] and \
+        hi["shuffle_cg_rows"] == hi["shuffle_pip_rows"] and \
         lo["asof_rows"] == hi["asof_rows"]
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
@@ -229,6 +254,8 @@ cogroup PIP join + as-of temporal join).
 | PIP join rows/sec | {lo['join_rows_per_sec']:,} | {hi['join_rows_per_sec']:,} | |
 | no-broadcast PIP (sec) | {lo['shuffle_pip_sec']} | {hi['shuffle_pip_sec']} | {eff_sh:.2f} |
 | no-broadcast PIP rows/sec | {lo['shuffle_pip_rows_per_sec']:,} | {hi['shuffle_pip_rows_per_sec']:,} | |
+| no-bcast ALL-JVM PIP (sec) | {lo['shuffle_cg_sec']} | {hi['shuffle_cg_sec']} | {eff_cg:.2f} |
+| no-bcast ALL-JVM PIP rows/sec | {lo['shuffle_cg_rows_per_sec']:,} | {hi['shuffle_cg_rows_per_sec']:,} | |
 | as-of join (sec) | {lo['asof_sec']} | {hi['asof_sec']} | {eff_asof:.2f} |
 | as-of facts/sec | {lo['asof_facts_per_sec']:,} | {hi['asof_facts_per_sec']:,} | |
 
@@ -242,6 +269,7 @@ Raw: ```{json.dumps(results)}```
         "efficiency_pyramid": round(eff_pyr, 3),
         "efficiency_join": round(eff_join, 3),
         "efficiency_shuffle_pip": round(eff_sh, 3),
+        "efficiency_shuffle_cg": round(eff_cg, 3),
         "efficiency_asof": round(eff_asof, 3),
         "identical_output": identical,
         "results": results,
