@@ -2899,6 +2899,132 @@ _shared_sql(
 )
 
 
+# Q8 shape: market share — a nation's revenue share within its region per
+# year, the CASE-inside-aggregate ratio over a 6-way join. Share in integer
+# basis points via the floored IEEE quotient (q17/q14 trick).
+_shared_sql(
+    "tpch_q8",
+    f"""
+    WITH vol AS (
+      SELECT year(l.l_shipdate) AS o_year,
+             {_CENTS_PRICE.replace('l_extendedprice', 'l.l_extendedprice')}
+               * (100 - {_CENTS_DISC.replace('l_discount', 'l.l_discount')})
+               AS v,
+             n.n_nationkey AS supp_nation
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_regionkey = 2)
+    SELECT o_year,
+           cast(sum(CASE WHEN supp_nation = 12 THEN v ELSE 0 END)
+                as bigint) AS nation_c100,
+           cast(sum(v) as bigint) AS region_c100,
+           cast(floor(cast(sum(CASE WHEN supp_nation = 12 THEN v ELSE 0 END)
+                           as double) * 10000 / sum(v)) as bigint)
+             AS share_bp
+    FROM vol GROUP BY o_year
+    """,
+    doc="TPC-H Q8 shape: per-year market share of one nation within its "
+        "region — CASE-conditional aggregate ratio over the supplier-"
+        "nation-region star, integer basis points",
+)
+
+# Q9 shape: product-type profit per nation per year. No ps_supplycost in
+# the synthetic schema, so cost = p_retailprice * quantity (same join
+# shape: the cost column rides the part dim instead of partsupp).
+_shared_sql(
+    "tpch_q9",
+    f"""
+    SELECT n.n_name AS nation, year(l.l_shipdate) AS o_year,
+           cast(sum({_CENTS_PRICE.replace('l_extendedprice',
+                                          'l.l_extendedprice')}
+                    * (100 - {_CENTS_DISC.replace('l_discount',
+                                                  'l.l_discount')})
+                    - cast(round(p.p_retailprice * 100, 0) as bigint)
+                      * cast(round(l.l_quantity * 100, 0) as bigint))
+                as bigint) AS profit_c
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY n.n_name, year(l.l_shipdate)
+    """,
+    doc="TPC-H Q9 shape: product-line profit per nation per year — LIKE "
+        "filter on the part name, 4-way join, two-key rollup; cost rides "
+        "the part dim (no partsupp in the synthetic schema), exact integer "
+        "cents arithmetic",
+)
+
+# Q11 shape: important stock — GROUP BY + HAVING against an UNCORRELATED
+# scalar subquery (a fraction of the global total): which parts carry more
+# than 0.5% of one region's total lineitem value.
+_shared_sql(
+    "tpch_q11",
+    f"""
+    WITH rv AS (
+      SELECT l.l_partkey,
+             {_CENTS_PRICE.replace('l_extendedprice', 'l.l_extendedprice')}
+               AS v
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_regionkey = 3)
+    SELECT l_partkey, cast(sum(v) as bigint) AS value_c100
+    FROM rv
+    GROUP BY l_partkey
+    HAVING cast(sum(v) as bigint) * 1000 >
+           (SELECT cast(sum(v) as bigint) FROM rv)
+    ORDER BY l_partkey
+    """,
+    doc="TPC-H Q11 shape: grouped HAVING against an uncorrelated scalar "
+        "total subquery (parts holding >0.1% of a region's value; the "
+        "fraction as exact integer cross-multiplication, no division)",
+)
+
+# Q15 shape: top supplier — revenue per supplier equi-joined back to the
+# MAX of the same derived aggregate (the view + scalar-MAX-subquery shape).
+_shared_sql(
+    "tpch_q15",
+    f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             {_REVENUE_CENTS} AS total_c100
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_c100
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_c100 = (SELECT max(total_c100) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+    doc="TPC-H Q15 shape: top supplier by quarterly revenue — a grouped "
+        "derived table referenced twice (once aggregated to its MAX as a "
+        "scalar subquery, once joined); ties kept, deterministic order",
+)
+
+# Q16 shape: supplier-count-per-part-attribute with a NOT IN exclusion
+# subquery and COUNT(DISTINCT).
+_shared_sql(
+    "tpch_q16",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           cast(count(DISTINCT l.l_suppkey) as bigint) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND p.p_type <> 'PROMO'
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7%')
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    doc="TPC-H Q16 shape: COUNT(DISTINCT supplier) per part attribute "
+        "triple with a NOT IN exclusion subquery (null-safe anti join) "
+        "and an IN size list",
+)
+
+
 _JOURNEY_W = ("OVER (PARTITION BY user_id ORDER BY ts, event_id)")
 
 
