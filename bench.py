@@ -148,6 +148,25 @@ def bench_pip_poly_sql(spark, cores):
     return pip_join_codegen(feats, synth_zones(100)).count()
 
 
+def bench_pip_shuffle_sql(spark, cores):
+    """No-broadcast AND no-Python exact PIP (pip_join_shuffle_codegen):
+    one shuffle of the point side keyed on the cell id + shuffle-hash
+    join + unrolled codegen refine — the 'both sides 100 TB' regime with
+    zero latency-sensitive operators."""
+    from cloudtile_spark.operators.joins import pip_join_shuffle_codegen
+    from cloudtile_spark.sources.zones import synth_zones
+
+    n_zones = int(os.environ.get("BENCH_ZONES", "400"))
+    feats = spark.read.parquet(FEATURES_DIR)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        return pip_join_shuffle_codegen(feats, synth_zones(n_zones),
+                                        res=7).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def bench_knn(spark, cores):
     from cloudtile_spark import caching
     from cloudtile_spark.operators.joins import knn_join_adaptive
@@ -226,6 +245,11 @@ def main() -> None:
         t, n_rows = timed(lambda: bench_pip_shuffle(spark, cores))
         times["pip_shuffle_2m"] = round(t, 3)
         throughput["shuffle_pip_rows_per_sec"] = round(n_rows / t, 1)
+
+    if want("pip_shuffle_sql_2m"):
+        t, n_rows = timed(lambda: bench_pip_shuffle_sql(spark, cores))
+        times["pip_shuffle_sql_2m"] = round(t, 3)
+        throughput["shuffle_sql_pip_rows_per_sec"] = round(n_rows / t, 1)
 
     if want("knn_512q"):
         t, n_rows = timed(lambda: bench_knn(spark, cores), warmup=True)
