@@ -231,6 +231,19 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return rows[:, :, ::-1].copy()  # BGR -> RGB
 
 
+def resize_nn(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize with the floor mapping
+    src = (dst * src_dim) // out_dim — pure integer index math, so the
+    oracle can replay the exact sampled pixels in ANSI SQL (the
+    arithmetic-oracle pattern of media_bmp_stats applied to the resize
+    step; a rounding or axis-swap bug changes the sampled indices and
+    breaks the hash)."""
+    h, w, _ = px.shape
+    sx = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    sy = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    return px[sy][:, sx]
+
+
 def bmp_features(payload: bytes) -> np.ndarray:
     """Real decode -> fixed-dim features: mean intensity over
     _FEATURE_DIM equal horizontal bands of the grayscale image,

@@ -3717,6 +3717,84 @@ def _init_media_bmp_stats() -> None:
 _init_media_bmp_stats()
 
 
+def _init_media_bmp_resize() -> None:
+    """REAL image RESIZE over the real decode path: decode the BMP payload,
+    nearest-neighbor-resize to a fixed 8x4 thumbnail (floor mapping
+    src = (dst * src_dim) // out_dim — operators/multimodal.resize_nn),
+    and emit channel sums + a destination-weighted moment of the RESIZED
+    pixels. The oracle replays the exact sampled source pixels from the
+    integer pixel definition, so a resize rounding error, axis swap, or
+    off-by-one in the index mapping cannot hash-match."""
+    W2, H2 = 8, 4
+    X2 = f"(i % {W2})"
+    Y2 = f"cast((i - (i % {W2})) / {W2} as bigint)"
+    SX = (f"cast((({X2}) * w - (({X2}) * w) % {W2}) / {W2} as bigint)")
+    SY = (f"cast((({Y2}) * h - (({Y2}) * h) % {H2}) / {H2} as bigint)")
+    R = f"((media_id + {SX} + 17 * {SY}) % 256)"
+    G = f"((11 * media_id + 13 * {SX} + {SY}) % 256)"
+    B = f"((7 * media_id + 3 * {SX} + 5 * {SY}) % 256)"
+    MOM = f"((3 * {X2} + 7 * {Y2}) * ({R} + {G} + {B}))"
+
+    def dsum(expr: str) -> str:
+        return (f"cast(list_sum(list_transform(range(0, {W2 * H2}), "
+                f"i -> {expr})) as bigint)")
+
+    oracle = f"""
+    WITH a AS (SELECT doc_id AS media_id,
+                      16 + doc_id % 17 AS w, 8 + doc_id % 13 AS h
+               FROM documents WHERE doc_id % 3 = 0)
+    SELECT media_id,
+           cast({W2} as bigint) AS out_w, cast({H2} as bigint) AS out_h,
+           {dsum(R)} AS sum_r, {dsum(G)} AS sum_g, {dsum(B)} AS sum_b,
+           {dsum(MOM)} AS moment
+    FROM a
+    """
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import numpy as np
+        import pandas as pd
+
+        from .operators.multimodal import decode_bmp, make_bmp, resize_nn
+
+        load_views(spark, sf_dir)
+        images = spark.sql(
+            "SELECT doc_id AS media_id FROM documents WHERE doc_id % 3 = 0")
+
+        def kernel(batches):
+            for pdf in batches:
+                rows = []
+                for mid in pdf.media_id:
+                    mid = int(mid)
+                    px = decode_bmp(make_bmp(mid))
+                    th = resize_nn(px, 8, 4).astype(np.int64)
+                    x = np.arange(8, dtype=np.int64)[None, :]
+                    y = np.arange(4, dtype=np.int64)[:, None]
+                    mom = int(((3 * x + 7 * y) * th.sum(axis=2)).sum())
+                    rows.append((
+                        mid, 8, 4,
+                        int(th[:, :, 0].sum()), int(th[:, :, 1].sum()),
+                        int(th[:, :, 2].sum()), mom))
+                yield pd.DataFrame(rows, columns=[
+                    "media_id", "out_w", "out_h",
+                    "sum_r", "sum_g", "sum_b", "moment"])
+
+        return images.mapInPandas(
+            kernel,
+            schema="media_id long, out_w long, out_h long, "
+                   "sum_r long, sum_g long, sum_b long, moment long")
+
+    REGISTRY["media_bmp_resize"] = Query(
+        "media_bmp_resize", fn, oracle,
+        "REAL image resize over the real decode path: BMP decode + "
+        "nearest-neighbor 8x4 thumbnail (integer floor mapping), stats of "
+        "the RESIZED pixels hash-matched against an arithmetic oracle "
+        "replaying the exact sampled source pixels",
+    )
+
+
+_init_media_bmp_resize()
+
+
 @_register(
     "media_frame_sample",
     """
