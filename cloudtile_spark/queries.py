@@ -3795,6 +3795,96 @@ def _init_media_bmp_resize() -> None:
 _init_media_bmp_resize()
 
 
+def _init_media_avi_frames() -> None:
+    """REAL video decode path (third modality — the WAV/BMP precedent
+    applied to video): video rows carry actual uncompressed-AVI payloads
+    (pure-stdlib RIFF writer) which the executor-side recursive
+    LIST-walking parser DECODES back to per-frame pixel arrays
+    (operators/multimodal.decode_avi — writer and parser are independent
+    code paths), then every 2nd frame is sampled and per-frame channel
+    sums + a position-weighted moment emitted. The oracle recomputes
+    every decoded statistic arithmetically from the integer
+    (media_id, frame, x, y) pixel definition, so a parser bug (frame
+    misorder, row flip, BGR swap, padding error) cannot hash-match."""
+    X = "(i % w)"
+    Y = "cast((i - (i % w)) / w as bigint)"
+    R = f"((media_id + 5 * frame_idx + {X} + 17 * {Y}) % 256)"
+    G = f"((11 * media_id + 3 * frame_idx + 13 * {X} + {Y}) % 256)"
+    B = f"((7 * media_id + frame_idx + 3 * {X} + 5 * {Y}) % 256)"
+    MOM = f"((3 * {X} + 7 * {Y}) * ({R} + {G} + {B}))"
+
+    def dsum(expr: str) -> str:
+        return (f"cast(list_sum(list_transform(range(0, w * h), "
+                f"i -> {expr})) as bigint)")
+
+    oracle = f"""
+    WITH a AS (SELECT doc_id AS media_id,
+                      8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h,
+                      3 + doc_id % 6 AS nf
+               FROM documents WHERE doc_id % 3 = 2),
+    f AS (SELECT media_id, w, h, nf,
+                 unnest(range(0, nf, 2)) AS frame_idx
+          FROM a)
+    SELECT media_id, cast(frame_idx as bigint) AS frame_idx,
+           cast(224 + nf * (8 + (w * 3 + (4 - (w * 3) % 4) % 4) * h)
+                as bigint) AS n_bytes,
+           cast(w as bigint) AS width, cast(h as bigint) AS height,
+           cast(nf as bigint) AS n_frames,
+           {dsum(R)} AS sum_r, {dsum(G)} AS sum_g, {dsum(B)} AS sum_b,
+           {dsum(MOM)} AS moment
+    FROM f
+    """
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import numpy as np
+        import pandas as pd
+
+        from .operators.multimodal import decode_avi, make_avi
+
+        load_views(spark, sf_dir)
+        vids = spark.sql(
+            "SELECT doc_id AS media_id FROM documents WHERE doc_id % 3 = 2")
+
+        def kernel(batches):
+            for pdf in batches:
+                rows = []
+                for mid in pdf.media_id:
+                    mid = int(mid)
+                    avi = make_avi(mid)        # encode: struct.pack writer
+                    d = decode_avi(avi)        # decode: RIFF LIST walker
+                    w, h = d["width"], d["height"]
+                    x = np.arange(w, dtype=np.int64)[None, :]
+                    y = np.arange(h, dtype=np.int64)[:, None]
+                    for fi in range(0, d["n_frames"], 2):
+                        px = d["frames"][fi].astype(np.int64)
+                        mom = int(((3 * x + 7 * y) * px.sum(axis=2)).sum())
+                        rows.append((
+                            mid, fi, len(avi), w, h, d["n_frames"],
+                            int(px[:, :, 0].sum()), int(px[:, :, 1].sum()),
+                            int(px[:, :, 2].sum()), mom))
+                yield pd.DataFrame(rows, columns=[
+                    "media_id", "frame_idx", "n_bytes", "width", "height",
+                    "n_frames", "sum_r", "sum_g", "sum_b", "moment"])
+
+        return vids.mapInPandas(
+            kernel,
+            schema="media_id long, frame_idx long, n_bytes long, "
+                   "width long, height long, n_frames long, "
+                   "sum_r long, sum_g long, sum_b long, moment long")
+
+    REGISTRY["media_avi_frames"] = Query(
+        "media_avi_frames", fn, oracle,
+        "REAL video decode: pure-stdlib uncompressed-AVI writer + "
+        "independent recursive RIFF parser on the executors; every 2nd "
+        "frame sampled, per-frame channel sums and a position-weighted "
+        "moment hash-matched against an arithmetic oracle over the "
+        "integer (media_id, frame, x, y) pixel definition",
+    )
+
+
+_init_media_avi_frames()
+
+
 @_register(
     "media_frame_sample",
     """

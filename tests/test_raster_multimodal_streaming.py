@@ -474,9 +474,9 @@ def test_extract_media_features_real_bmp_branch(spark):
 
 
 def test_riff_non_wave_falls_back_to_fake(spark):
-    """AVI video and WebP images are RIFF containers too: a RIFF payload
-    whose form tag is not WAVE must take the fake-feature path instead of
-    crashing the whole mapInPandas job in decode_wav."""
+    """WebP images are RIFF containers too, and a RIFF/'AVI ' payload
+    with no valid headers is undecodable: both must take the
+    fake-feature path instead of crashing the whole mapInPandas job."""
     import struct
 
     import numpy as np
@@ -493,6 +493,80 @@ def test_riff_non_wave_falls_back_to_fake(spark):
            mm.extract_media_features(media).collect()}
     assert np.allclose(out[10].features, mm._fake_features(avi), atol=1e-7)
     assert np.allclose(out[11].features, mm._fake_features(webp), atol=1e-7)
+
+
+def test_avi_decode_roundtrip_and_malformed():
+    """The real video decode path: writer (struct.pack assembly) and
+    parser (recursive RIFF LIST walker) are independent code paths; the
+    parser must recover every frame's exact RGB pixels (undoing the
+    bottom-up row order, BGR channel order, and row padding per frame)
+    and reject malformed payloads loudly."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from cloudtile_spark.operators.multimodal import (
+        avi_dims, avi_features, avi_frame_pixels, avi_n_frames,
+        decode_avi, make_avi, _FEATURE_DIM,
+    )
+
+    for mid in (0, 1, 7, 16, 33, 999, 12345):
+        d = decode_avi(make_avi(mid))
+        w, h = avi_dims(mid)
+        assert (d["width"], d["height"]) == (w, h)
+        assert d["n_frames"] == avi_n_frames(mid) == len(d["frames"])
+        for fi, px in enumerate(d["frames"]):
+            assert px.shape == (h, w, 3) and px.dtype == np.uint8
+            assert np.array_equal(px, avi_frame_pixels(mid, fi))
+
+    with pytest.raises(ValueError):
+        decode_avi(b"NOTRIFFATALL0000")
+    with pytest.raises(ValueError):  # RIFF but WAVE form, not AVI
+        decode_avi(b"RIFF" + struct.pack("<I", 4) + b"WAVE")
+    with pytest.raises(ValueError, match="missing avih"):
+        decode_avi(b"RIFF" + struct.pack("<I", 200) + b"AVI "
+                   + b"\x00" * 196)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_avi(make_avi(5)[:-10])
+
+    # header/movi frame-count mismatch -> loud error
+    avi = bytearray(make_avi(5))
+    hdr_pos = avi.index(b"avih") + 8
+    nf = struct.unpack("<I", avi[hdr_pos + 16:hdr_pos + 20])[0]
+    avi[hdr_pos + 16:hdr_pos + 20] = struct.pack("<I", nf + 1)
+    with pytest.raises(ValueError, match="frame count mismatch"):
+        decode_avi(bytes(avi))
+
+    # compressed stream format -> unsupported, never silent garbage
+    avi = bytearray(make_avi(5))
+    strf_pos = avi.index(b"strf") + 8
+    avi[strf_pos + 16:strf_pos + 20] = b"MJPG"
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_avi(bytes(avi))
+
+    f = avi_features(make_avi(42))
+    assert f.shape == (_FEATURE_DIM,) and (f >= 0).all() and (f <= 1).all()
+
+
+def test_extract_media_features_real_avi_branch(spark):
+    """extract_media_features routes RIFF/'AVI ' payloads through the
+    REAL AVI decoder (features = grayscale slice means over the frame
+    sequence), while RIFF/WAVE still hits the audio path."""
+    import numpy as np
+
+    from cloudtile_spark.operators import multimodal as mm
+
+    rows = [(1, "video", bytearray(mm.make_avi(6)), None),
+            (2, "audio", bytearray(mm.make_wav(6)), None)]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, meta string")
+    out = {r.media_id: r for r in
+           mm.extract_media_features(media).collect()}
+    assert np.allclose(out[1].features, mm.avi_features(mm.make_avi(6)),
+                       atol=1e-7)
+    assert np.allclose(out[2].features, mm.wav_features(mm.make_wav(6)),
+                       atol=1e-7)
 
 
 def test_polygonize_node_id_guard():
