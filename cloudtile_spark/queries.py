@@ -4043,6 +4043,168 @@ def _pages_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _init_corpus_analytics() -> None:
+    """Three corpus-analytics shapes a webtext pipeline runs beyond the
+    existing dedup/quality/token family: TF-IDF term ranking, cohort
+    retention, and a distributed Pareto skyline. All three are pure
+    DataFrame/SQL plans — no Python in any hot path."""
+
+    # --- TF-IDF top-k terms per document --------------------------------
+    # Scoring stays in INTEGER arithmetic end-to-end (idf_ppm = floor
+    # integer division of 1e6*n_docs by df; score = tf * idf_ppm) so the
+    # rank order is bit-identical across engines — no transcendental
+    # log() to drift. Scale shape: tf is one hash agg on (doc_id, term);
+    # df one hash agg on term (both map-side combinable); the tf-df join
+    # shuffles on the high-cardinality term key (AQE may broadcast the
+    # df side when small); n_docs is a once-executed scalar subquery;
+    # the top-k window partitions by doc_id — no global sort anywhere.
+    def tfidf_sql(explode_terms: str, intdiv: str, flags: str) -> str:
+        return f"""
+        WITH c AS (
+          SELECT doc_id,
+                 trim(regexp_replace(regexp_replace(lower(text),
+                      '[^a-z0-9 ]', ' '{flags}), ' +', ' '{flags})) AS clean
+          FROM documents),
+        t AS ({explode_terms}),
+        tf AS (SELECT doc_id, term, cast(count(*) as bigint) AS tf
+               FROM t WHERE term <> '' GROUP BY doc_id, term),
+        dfreq AS (SELECT term, cast(count(*) as bigint) AS df
+                  FROM tf GROUP BY term),
+        n AS (SELECT cast(count(*) as bigint) AS n_docs FROM documents),
+        s AS (SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+                     tf.tf * ((1000000 * n.n_docs) {intdiv} dfreq.df)
+                       AS score
+              FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n),
+        r AS (SELECT doc_id, term, tf, df, score,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, term ASC)
+                       AS rk
+              FROM s)
+        SELECT doc_id, term, tf, df, cast(score as bigint) AS score,
+               cast(rk as bigint) AS rk
+        FROM r WHERE rk <= 3
+        """
+
+    spark_tfidf = tfidf_sql(
+        "SELECT doc_id, term FROM c "
+        "LATERAL VIEW explode(split(clean, ' ')) x AS term",
+        "div", "")
+    duck_tfidf = tfidf_sql(
+        "SELECT doc_id, unnest(string_split(clean, ' ')) AS term FROM c",
+        "//", ", 'g'")
+
+    def tfidf_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        load_views(spark, sf_dir)
+        return spark.sql(spark_tfidf)
+
+    REGISTRY["text_tfidf_topk"] = Query(
+        "text_tfidf_topk", tfidf_fn, duck_tfidf,
+        "TF-IDF top-3 terms per document over the cleaned token stream, "
+        "integer ppm idf (floor division — no log() to drift across "
+        "engines); two map-side-combinable hash aggs + one term-keyed "
+        "join + a per-doc window, zero Python",
+    )
+
+    # --- Weekly retention cohorts ---------------------------------------
+    # first-seen week per user (one hash agg, map-side min) joined back
+    # to per-user active weeks; DISTINCT collapses to one row per
+    # (user, week) before the final cohort x offset count. Week index is
+    # floor integer division of epoch-microseconds — dialect split
+    # unix_micros/epoch_us per the tpch_q12 precedent.
+    def cohort_sql(micros: str, intdiv: str) -> str:
+        wk = f"({micros} {intdiv} 604800000000)"
+        return f"""
+        WITH e AS (SELECT user_id, {wk} AS wk FROM events),
+        c AS (SELECT user_id, min(wk) AS cohort_wk
+              FROM e GROUP BY user_id),
+        a AS (SELECT DISTINCT e.user_id, c.cohort_wk,
+                     e.wk - c.cohort_wk AS wk_offset
+              FROM e JOIN c ON e.user_id = c.user_id)
+        SELECT cast(cohort_wk as bigint) AS cohort_wk,
+               cast(wk_offset as bigint) AS wk_offset,
+               cast(count(*) as bigint) AS n_users
+        FROM a GROUP BY cohort_wk, wk_offset
+        """
+
+    def cohort_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        load_views(spark, sf_dir)
+        return spark.sql(
+            cohort_sql("unix_micros(cast(ts as timestamp))", "div"))
+
+    REGISTRY["events_retention_cohorts"] = Query(
+        "events_retention_cohorts", cohort_fn,
+        cohort_sql("epoch_us(cast(ts as timestamp))", "//"),
+        "weekly retention cohorts: first-seen week per user x active-week "
+        "offset user counts — the classic cohort matrix as two hash aggs "
+        "and one user-keyed join",
+    )
+
+    # --- Distributed Pareto skyline -------------------------------------
+    # 2-D skyline (maximize both metrics) with the classic two-phase
+    # distributed algorithm, expressed ENTIRELY as partitioned window
+    # functions: phase 1 computes the LOCAL skyline inside each hash
+    # bucket in parallel (a point survives unless some same-bucket point
+    # has strictly larger x and >= y, or equal x and strictly larger y —
+    # two window maxima: a RANGE frame over strictly-greater x, and a
+    # per-(bucket, x) partition max); phase 2 re-runs the identical
+    # elimination on the small union of local skylines without the
+    # bucket partition. Exact for ANY bucketing because every global
+    # skyline point is also skyline within its own bucket. The oracle is
+    # an independent formulation: a NOT EXISTS dominance anti-join.
+    # Metrics: x = n_chars, y = a decorrelated deterministic integer
+    # score (Knuth multiplicative hash of doc_id, mod 1e6) — positive
+    # integers, so % is engine-identical.
+    skyline_spark = """
+    WITH p AS (
+      SELECT doc_id, cast(doc_id % 32 as bigint) AS bkt,
+             cast(n_chars as bigint) AS x,
+             cast((doc_id * 2654435761) % 1000000 as bigint) AS y
+      FROM documents),
+    l AS (SELECT doc_id, x, y,
+                 max(y) OVER (PARTITION BY bkt ORDER BY x
+                              RANGE BETWEEN 1 FOLLOWING
+                                        AND UNBOUNDED FOLLOWING) AS my_gt,
+                 max(y) OVER (PARTITION BY bkt, x) AS my_eq
+          FROM p),
+    u AS (SELECT doc_id, x, y FROM l
+          WHERE (my_gt IS NULL OR my_gt < y) AND y >= my_eq),
+    g AS (SELECT doc_id, x, y,
+                 max(y) OVER (ORDER BY x
+                              RANGE BETWEEN 1 FOLLOWING
+                                        AND UNBOUNDED FOLLOWING) AS my_gt,
+                 max(y) OVER (PARTITION BY x) AS my_eq
+          FROM u)
+    SELECT doc_id, x, y FROM g
+    WHERE (my_gt IS NULL OR my_gt < y) AND y >= my_eq
+    """
+    skyline_oracle = """
+    WITH p AS (
+      SELECT doc_id, cast(n_chars as bigint) AS x,
+             cast((doc_id * 2654435761) % 1000000 as bigint) AS y
+      FROM documents)
+    SELECT doc_id, x, y FROM p a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p b
+      WHERE b.x >= a.x AND b.y >= a.y AND (b.x > a.x OR b.y > a.y))
+    """
+
+    def skyline_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        load_views(spark, sf_dir)
+        return spark.sql(skyline_spark)
+
+    REGISTRY["pareto_skyline"] = Query(
+        "pareto_skyline", skyline_fn, skyline_oracle,
+        "distributed 2-D Pareto skyline: per-bucket local skyline via "
+        "partitioned window maxima (parallel), then the identical "
+        "elimination over the small survivor union — exact for any "
+        "bucketing; oracle is an independent NOT EXISTS dominance "
+        "anti-join",
+    )
+
+
+_init_corpus_analytics()
+
+
 def _attach_golden_oracles() -> None:
     """Queries whose output is deterministic but not SQL-expressible (MVT
     byte lengths, rasterized pixel counts, the extraction invariant) get

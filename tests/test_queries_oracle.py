@@ -45,6 +45,51 @@ def test_query_matches_oracle(spark, duck, name):
     assert sh == dh, "value hash mismatch"
 
 
+def test_skyline_two_phase_equals_brute_force(spark):
+    """The bucketed two-phase window skyline is EXACT for any bucketing —
+    verified against an O(n^2) brute force on adversarial inputs: heavy
+    x-ties, y-ties, exact duplicate points, and a fully dominated chain.
+    (The registry query itself is oracle-checked; this pins the
+    algorithm on data the fixture tables don't exercise.)"""
+    cases = [
+        # (x, y) pools designed to stress tie handling
+        [(5, 5), (5, 5), (5, 4), (4, 5), (3, 3)],          # duplicates kept
+        [(i, 10 - i) for i in range(11)],                   # anti-chain: all
+        [(i, i) for i in range(10)],                        # chain: one
+        [(i % 4, (i * 7) % 5) for i in range(40)],          # dense ties
+        [((i * 2654435761) % 97, (i * 40503) % 89)
+         for i in range(200)],                              # pseudo-random
+    ]
+    for pts in cases:
+        rows = [(i, x, y) for i, (x, y) in enumerate(pts)]
+        df = spark.createDataFrame(rows, "doc_id long, x long, y long")
+        df.createOrReplaceTempView("sky_pts")
+        got = spark.sql("""
+            WITH p AS (SELECT doc_id, cast(doc_id % 3 as bigint) AS bkt,
+                              x, y FROM sky_pts),
+            l AS (SELECT doc_id, x, y,
+                         max(y) OVER (PARTITION BY bkt ORDER BY x
+                                      RANGE BETWEEN 1 FOLLOWING
+                                          AND UNBOUNDED FOLLOWING) AS mg,
+                         max(y) OVER (PARTITION BY bkt, x) AS me
+                  FROM p),
+            u AS (SELECT doc_id, x, y FROM l
+                  WHERE (mg IS NULL OR mg < y) AND y >= me),
+            g AS (SELECT doc_id, x, y,
+                         max(y) OVER (ORDER BY x
+                                      RANGE BETWEEN 1 FOLLOWING
+                                          AND UNBOUNDED FOLLOWING) AS mg,
+                         max(y) OVER (PARTITION BY x) AS me
+                  FROM u)
+            SELECT doc_id FROM g
+            WHERE (mg IS NULL OR mg < y) AND y >= me
+        """)
+        want = {i for i, (x, y) in enumerate(pts)
+                if not any(bx >= x and by >= y and (bx > x or by > y)
+                           for bx, by in pts)}
+        assert {r.doc_id for r in got.collect()} == want, pts
+
+
 @pytest.mark.parametrize("name", ["tpch_q17", "tpch_q2", "tpch_q20",
                                   "tpch_q18", "tpch_q21"])
 def test_correlated_subqueries_decorrelate(spark, name):
