@@ -4205,6 +4205,67 @@ def _init_corpus_analytics() -> None:
 _init_corpus_analytics()
 
 
+def _init_radius_pairs() -> None:
+    """epsilon-distance pair self-join (the 'all pairs within d' spatial
+    join, distinct from kNN and from grid SNAPPING): grid-cell blocking
+    with cell size == epsilon, each LEFT point probing its 3x3 neighbor
+    cells. Each qualifying pair is generated EXACTLY ONCE with no
+    DISTINCT pass: the right point lives in exactly one cell and the
+    left point probes that cell exactly once (9 distinct probe keys),
+    with doc_a < doc_b fixing the orientation. Coordinates are offset to
+    non-negative integer micro-degrees first so integer division and %
+    are engine-identical (the floor-vs-truncate divide trap never
+    arises). Scale shape: one shuffle on the cell key (9x replication of
+    the probe side only), exact integer squared-distance refine in
+    codegen, AQE skew-split handles metro hot cells. The oracle is an
+    independent brute-force O(n^2) cross join — no cells at all."""
+    eps = 50_000           # 0.05 deg in micro-degrees == the cell size
+    pts = f"""
+      p AS (SELECT doc_id,
+                   cast(floor((lon + 180.0) * 1000000.0) as bigint) AS mx,
+                   cast(floor((lat + 90.0) * 1000000.0) as bigint) AS my
+            FROM geo)"""
+    dist = ("(a.mx - b.mx) * (a.mx - b.mx) + "
+            "(a.my - b.my) * (a.my - b.my)")
+
+    spark_sql = f"""
+    WITH {_GEO_CTE}, {pts},
+    c AS (SELECT doc_id, mx, my,
+                 mx div {eps} AS cx, my div {eps} AS cy FROM p),
+    probes AS (SELECT doc_id, mx, my, cx + dx AS px, cy + dy AS py
+               FROM c
+               LATERAL VIEW explode(array(-1, 0, 1)) xt AS dx
+               LATERAL VIEW explode(array(-1, 0, 1)) yt AS dy)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           cast({dist} as bigint) AS dist_sq
+    FROM probes a JOIN c b
+      ON a.px = b.cx AND a.py = b.cy AND a.doc_id < b.doc_id
+    WHERE {dist} <= {eps * eps}
+    """
+    oracle = f"""
+    WITH {_GEO_CTE}, {pts}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           cast({dist} as bigint) AS dist_sq
+    FROM p a JOIN p b ON a.doc_id < b.doc_id
+    WHERE {dist} <= {eps * eps}
+    """
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        load_views(spark, sf_dir)
+        return spark.sql(spark_sql)
+
+    REGISTRY["geo_radius_pairs_join"] = Query(
+        "geo_radius_pairs_join", fn, oracle,
+        "epsilon-radius pair self-join (all point pairs within 0.05 deg) "
+        "via 3x3 grid-cell blocking, exactly-once pair generation (no "
+        "DISTINCT), integer squared-distance refine; oracle is an "
+        "independent cell-free brute-force cross join",
+    )
+
+
+_init_radius_pairs()
+
+
 def _attach_golden_oracles() -> None:
     """Queries whose output is deterministic but not SQL-expressible (MVT
     byte lengths, rasterized pixel counts, the extraction invariant) get
