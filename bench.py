@@ -58,6 +58,7 @@ REGISTRY_QUERIES = [
     "tpch_q1", "tpch_q3",
     "events_sessionize", "text_quality", "lang_id",
     "ts_asof_join", "dedup_cc_clusters", "zone_overlap_area_poly",
+    "text_tfidf_topk", "geo_radius_pairs_join",
 ]
 
 

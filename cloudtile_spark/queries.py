@@ -4266,6 +4266,64 @@ def _init_radius_pairs() -> None:
 _init_radius_pairs()
 
 
+# Trajectory segments: consecutive doc points (i -> i+1) as line segments,
+# rolled up to the z7 tile of the segment START. Per-segment length is
+# floor(sqrt(integer squared micro-degree distance)) — IEEE-754 requires
+# sqrt to be correctly rounded and the radicand is an exact integer
+# < 2^53, so the per-segment length is bit-identical in both engines and
+# the rollup sums INTEGERS (no float accumulation order to drift). The
+# successor lookup is an equi-join on doc_id + 1 (parallel; a global
+# lag() window would serialize on one reducer).
+_shared_sql(
+    "trajectory_tile_length",
+    f"""
+    WITH {_GEO_CTE},
+    p AS (SELECT doc_id, lon, lat,
+                 cast(floor((lon + 180.0) * 1000000.0) as bigint) AS mx,
+                 cast(floor((lat + 90.0) * 1000000.0) as bigint) AS my
+          FROM geo),
+    seg AS (SELECT a.doc_id,
+                   {tiles.tile_x_sql('a.lon', '7')} AS x,
+                   {tiles.tile_y_sql('a.lat', '7')} AS y,
+                   cast(floor(sqrt(cast(
+                        (a.mx - b.mx) * (a.mx - b.mx)
+                        + (a.my - b.my) * (a.my - b.my) as double)))
+                     as bigint) AS len_micro
+            FROM p a JOIN p b ON b.doc_id = a.doc_id + 1)
+    SELECT x, y, cast(count(*) as bigint) AS n_segments,
+           cast(sum(len_micro) as bigint) AS total_len_micro,
+           cast(max(len_micro) as bigint) AS max_len_micro
+    FROM seg GROUP BY x, y
+    """,
+    doc="trajectory rollup: consecutive-point segments assigned to the z7 "
+        "tile of their start, per-tile count + summed integer "
+        "micro-degree length (correctly-rounded sqrt of an exact integer "
+        "-> engine-identical; integer rollup -> order-free); successor "
+        "via parallel equi-join on doc_id+1, not a single-reducer lag "
+        "window",
+)
+
+
+# Equi-width histogram over the events value column: bucket by floor
+# division of the raw double (deterministic — same IEEE ops both
+# engines), aggregate in integer cents so the per-bucket sum has no
+# float accumulation order. One map-side-combinable hash agg.
+_shared_sql(
+    "events_value_histogram",
+    """
+    SELECT cast(floor(value / 2.5) as bigint) AS bucket,
+           cast(count(*) as bigint) AS n_events,
+           cast(sum(cast(floor(value * 100.0) as bigint)) as bigint)
+             AS sum_cents,
+           cast(min(event_id) as bigint) AS min_event_id
+    FROM events GROUP BY bucket
+    """,
+    doc="equi-width value histogram: floor-division bucketing of the raw "
+        "double, integer-cents per-bucket sums (order-free), one "
+        "map-side-combinable hash agg",
+)
+
+
 def _attach_golden_oracles() -> None:
     """Queries whose output is deterministic but not SQL-expressible (MVT
     byte lengths, rasterized pixel counts, the extraction invariant) get
