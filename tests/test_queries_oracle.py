@@ -90,6 +90,92 @@ def test_skyline_two_phase_equals_brute_force(spark):
         assert {r.doc_id for r in got.collect()} == want, pts
 
 
+def test_radius_pairs_grid_equals_brute_force(spark):
+    """The 3x3 cell-probe epsilon join generates each qualifying pair
+    EXACTLY once (no DISTINCT) and misses none — verified against brute
+    force on adversarial point sets: exact cell-boundary coordinates,
+    co-located duplicates, pairs straddling cell corners, and pairs at
+    exactly epsilon (inclusive bound)."""
+    eps = 100
+    pts = (
+        # cell boundaries at multiples of eps; corners; exact-eps pairs
+        [(0, 0), (100, 0), (0, 100), (100, 100), (99, 99), (101, 101),
+         (200, 200), (60, 80), (250, 250), (250, 250), (137, 42),
+         (300, 0), (300, 100), (205, 205)]
+        + [((i * 73) % 450, (i * 131) % 450) for i in range(40)]
+    )
+    rows = [(i, x, y) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "doc_id long, mx long, my long")
+    df.createOrReplaceTempView("rp_pts")
+    got = spark.sql(f"""
+        WITH c AS (SELECT doc_id, mx, my,
+                          mx div {eps} AS cx, my div {eps} AS cy
+                   FROM rp_pts),
+        probes AS (SELECT doc_id, mx, my, cx + dx AS px, cy + dy AS py
+                   FROM c
+                   LATERAL VIEW explode(array(-1, 0, 1)) xt AS dx
+                   LATERAL VIEW explode(array(-1, 0, 1)) yt AS dy)
+        SELECT a.doc_id AS da, b.doc_id AS db
+        FROM probes a JOIN c b
+          ON a.px = b.cx AND a.py = b.cy AND a.doc_id < b.doc_id
+        WHERE (a.mx - b.mx) * (a.mx - b.mx)
+              + (a.my - b.my) * (a.my - b.my) <= {eps * eps}
+    """).collect()
+    got_pairs = [(r.da, r.db) for r in got]
+    assert len(got_pairs) == len(set(got_pairs)), "pair emitted twice"
+    want = {(i, j)
+            for i, (xi, yi) in enumerate(pts)
+            for j in range(i + 1, len(pts))
+            if (xi - pts[j][0]) ** 2 + (yi - pts[j][1]) ** 2 <= eps * eps}
+    assert set(got_pairs) == want
+
+
+def test_triangle_orientation_equals_brute_force(spark):
+    """Degree-orientation triangle counting equals the O(n^3) brute force
+    on arbitrary graphs: a clique (max triangles), a star (zero), a
+    triangle-free bipartite graph, and pseudo-random graphs with skewed
+    degrees and duplicate/self-loop raw edges."""
+    import itertools
+
+    cases = [
+        [(a, b) for a, b in itertools.combinations(range(6), 2)],  # K6
+        [(0, i) for i in range(1, 9)],                             # star
+        [(a, b + 4) for a in range(4) for b in range(4)],          # bipart
+        [(i, (i * i + 7) % 30) for i in range(30)]
+        + [(i, (i + 1) % 30) for i in range(30)]
+        + [(5, 5), (3, 4), (4, 3)],                # self-loop + dup edges
+    ]
+    for raw in cases:
+        df = spark.createDataFrame(raw, "a long, b long")
+        df.createOrReplaceTempView("tri_raw")
+        got = spark.sql("""
+            WITH canon AS (SELECT DISTINCT least(a, b) AS u,
+                                  greatest(a, b) AS v
+                           FROM tri_raw WHERE a <> b),
+            deg AS (SELECT node, count(*) AS d
+                    FROM (SELECT u AS node FROM canon
+                          UNION ALL SELECT v FROM canon) GROUP BY node),
+            oriented AS (
+              SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND c.u < c.v)
+                          THEN c.u ELSE c.v END AS src,
+                     CASE WHEN du.d < dv.d OR (du.d = dv.d AND c.u < c.v)
+                          THEN c.v ELSE c.u END AS dst
+              FROM canon c
+              JOIN deg du ON du.node = c.u JOIN deg dv ON dv.node = c.v),
+            wedge AS (SELECT o1.dst AS b, o2.dst AS c
+                      FROM oriented o1 JOIN oriented o2
+                        ON o1.src = o2.src AND o1.dst < o2.dst)
+            SELECT count(*) AS n
+            FROM wedge w JOIN canon e
+              ON e.u = least(w.b, w.c) AND e.v = greatest(w.b, w.c)
+        """).collect()[0].n
+        edges = {(min(a, b), max(a, b)) for a, b in raw if a != b}
+        nodes = sorted({n for e in edges for n in e})
+        want = sum(1 for t in itertools.combinations(nodes, 3)
+                   if {(t[0], t[1]), (t[1], t[2]), (t[0], t[2])} <= edges)
+        assert got == want, (raw[:5], got, want)
+
+
 @pytest.mark.parametrize("name", ["tpch_q17", "tpch_q2", "tpch_q20",
                                   "tpch_q18", "tpch_q21"])
 def test_correlated_subqueries_decorrelate(spark, name):
