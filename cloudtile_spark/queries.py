@@ -4304,6 +4304,52 @@ _shared_sql(
 )
 
 
+# Pyramid version diff — the tile-level ops question behind the lineage/
+# checkpoint-resume machinery: given yesterday's corpus (doc_id % 10 != 0)
+# and today's full corpus, which z/x/y tiles were added, which changed
+# (feature_count or content fingerprint moved), and which are untouched?
+# One FULL OUTER JOIN on the tile key between the two pyramid rollups,
+# rolled up per zoom. An untouched tile can skip re-encode/re-upload —
+# the md5-skip idempotency of the reference (s3.py:128-132) pushed down
+# to tile granularity. The content fingerprint is an order-free integer
+# sum of doc_id*doc_id (commutative -> partitioning-independent; sums
+# stay far below 2^63 at any plausible scale). No removed-tiles class
+# exists with a grow-only corpus, and the oracle proves exactly that:
+# v1 tiles are a subset of v2 tiles, so added + changed + same = |v2|.
+_shared_sql(
+    "pyramid_version_diff",
+    f"""
+    WITH {_GEO_CTE},
+    zs AS (SELECT z FROM (VALUES {_ZS}) AS v(z)),
+    t AS (SELECT g.doc_id, zs.z,
+                 {tiles.tile_x_sql('g.lon', 'zs.z')} AS x,
+                 {tiles.tile_y_sql('g.lat', 'zs.z')} AS y
+          FROM geo g CROSS JOIN zs),
+    v1 AS (SELECT z, x, y, count(*) AS fc,
+                  sum(doc_id * doc_id) AS fp
+           FROM t WHERE doc_id % 10 <> 0 GROUP BY z, x, y),
+    v2 AS (SELECT z, x, y, count(*) AS fc,
+                  sum(doc_id * doc_id) AS fp
+           FROM t GROUP BY z, x, y),
+    d AS (SELECT coalesce(v2.z, v1.z) AS z,
+                 CASE WHEN v1.z IS NULL THEN 'added'
+                      WHEN v2.z IS NULL THEN 'removed'
+                      WHEN v1.fc <> v2.fc OR v1.fp <> v2.fp
+                           THEN 'changed'
+                      ELSE 'same' END AS status
+          FROM v1 FULL OUTER JOIN v2
+            ON v1.z = v2.z AND v1.x = v2.x AND v1.y = v2.y)
+    SELECT z, status, cast(count(*) as bigint) AS n_tiles
+    FROM d GROUP BY z, status
+    """,
+    doc="pyramid version diff (incremental-ops): FULL OUTER JOIN of two "
+        "corpus versions' tile rollups on z/x/y, classified "
+        "added/changed/same per zoom via count + an order-free integer "
+        "content fingerprint — untouched tiles can skip re-encode, the "
+        "reference's md5-skip idempotency at tile granularity",
+)
+
+
 def _init_graph_triangles() -> None:
     """Distributed triangle counting (the third classic graph primitive
     beside the shipped connected-components and PageRank), over a
