@@ -4072,9 +4072,9 @@ def _init_corpus_analytics() -> None:
                   FROM tf GROUP BY term),
         n AS (SELECT cast(count(*) as bigint) AS n_docs FROM documents),
         s AS (SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
-                     tf.tf * ((1000000 * n.n_docs) {intdiv} dfreq.df)
-                       AS score
-              FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n),
+                     tf.tf * ((1000000 * (SELECT n_docs FROM n))
+                              {intdiv} dfreq.df) AS score
+              FROM tf JOIN dfreq ON tf.term = dfreq.term),
         r AS (SELECT doc_id, term, tf, df, score,
                      row_number() OVER (PARTITION BY doc_id
                                         ORDER BY score DESC, term ASC)
@@ -4366,48 +4366,39 @@ def _init_graph_triangles() -> None:
     ordered triple join u<v<w on the canonical edges (fine at gate
     scale, the exact thing the orientation trick exists to avoid at
     100 TB)."""
-    raw = """
+    # ONE documents scan and ONE once-executed scalar subquery: the four
+    # chords per node come from an explode, not a 4-branch UNION ALL
+    # (which would scan the table four times and execute the modulus
+    # subquery four times — measured in the plan audit).
+    def raw_cte(explode_k: str) -> str:
+        return f"""
     n AS (SELECT cast(count(*) as bigint) AS cnt FROM documents),
     raw AS (
-      SELECT doc_id AS a, (doc_id + 1) % (SELECT cnt FROM n) AS b
-      FROM documents
-      UNION ALL
-      SELECT doc_id, (doc_id + 2) % (SELECT cnt FROM n) FROM documents
-      UNION ALL
-      SELECT doc_id, (doc_id + 3) % (SELECT cnt FROM n) FROM documents
-      UNION ALL
-      SELECT doc_id, (doc_id * doc_id + 7) % (SELECT cnt FROM n)
-      FROM documents),
+      SELECT doc_id AS a,
+             (CASE k WHEN 0 THEN doc_id + 1
+                     WHEN 1 THEN doc_id + 2
+                     WHEN 2 THEN doc_id + 3
+                     ELSE doc_id * doc_id + 7 END)
+               % (SELECT cnt FROM n) AS b
+      FROM {explode_k}),
     canon AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
               FROM raw WHERE a <> b)"""
 
-    spark_sql = f"""
-    WITH {raw},
-    deg AS (SELECT node, cast(count(*) as bigint) AS d
-            FROM (SELECT u AS node FROM canon
-                  UNION ALL SELECT v FROM canon)
-            GROUP BY node),
-    oriented AS (
-      SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND c.u < c.v)
-                  THEN c.u ELSE c.v END AS src,
-             CASE WHEN du.d < dv.d OR (du.d = dv.d AND c.u < c.v)
-                  THEN c.v ELSE c.u END AS dst
-      FROM canon c
-      JOIN deg du ON du.node = c.u JOIN deg dv ON dv.node = c.v),
-    wedge AS (SELECT o1.src AS a, o1.dst AS b, o2.dst AS c
-              FROM oriented o1 JOIN oriented o2
-                ON o1.src = o2.src AND o1.dst < o2.dst),
-    tri AS (SELECT w.a, w.b, w.c
-            FROM wedge w JOIN canon e
-              ON e.u = least(w.b, w.c) AND e.v = greatest(w.b, w.c))
-    SELECT node, cast(count(*) as bigint) AS n_triangles
-    FROM (SELECT a AS node FROM tri
-          UNION ALL SELECT b FROM tri
-          UNION ALL SELECT c FROM tri)
-    GROUP BY node
-    """
+    raw = raw_cte(
+        "documents LATERAL VIEW explode(array(0, 1, 2, 3)) t AS k")
+    raw_duck = raw_cte(
+        "(SELECT doc_id, unnest([0, 1, 2, 3]) AS k FROM documents)")
+
+# canon is referenced FOUR times downstream (degree union x2, the
+    # orientation join, the wedge closure) and oriented TWICE (the wedge
+    # self-join) — Catalyst inlines CTEs, so a single WITH statement
+    # would recompute the DISTINCT edge set per reference (the plan
+    # audit counted 141 documents-scan mentions in that shape). Both
+    # stages are persisted via caching.stage_view (the repo's staged-
+    # pipeline contract: CTE-free / single-ref-CTE statements so cache
+    # substitution actually fires).
     oracle = f"""
-    WITH {raw}
+    WITH {raw_duck}
     SELECT node, cast(count(*) as bigint) AS n_triangles
     FROM (SELECT e1.u AS node
           FROM canon e1 JOIN canon e2 ON e2.u = e1.v
@@ -4423,9 +4414,44 @@ def _init_graph_triangles() -> None:
     GROUP BY node
     """
 
+    orient_case = ("CASE WHEN du.d < dv.d OR (du.d = dv.d AND c.u < c.v) "
+                   "THEN c.{lo} ELSE c.{hi} END")
+
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_views(spark, sf_dir)
-        return spark.sql(spark_sql)
+        canon = caching.stage_view(
+            spark.sql(f"WITH {raw} SELECT u, v FROM canon"), "tri_canon")
+        # oriented is SELF-joined; a persisted view self-joined under AQE
+        # trips a Spark internal error (NoSuchElementException: key not
+        # found) on the reused cached exchange, so this stage uses the
+        # repo's other materialization — eager localCheckpoint, exactly
+        # like the CC/PageRank iteration frames — which truncates the
+        # plan to RDD blocks AQE handles fine.
+        od = spark.sql(f"""
+            WITH deg AS (
+              SELECT node, cast(count(*) as bigint) AS d
+              FROM (SELECT u AS node FROM {canon}
+                    UNION ALL SELECT v FROM {canon})
+              GROUP BY node)
+            SELECT {orient_case.format(lo='u', hi='v')} AS src,
+                   {orient_case.format(lo='v', hi='u')} AS dst
+            FROM {canon} c
+            JOIN deg du ON du.node = c.u
+            JOIN deg dv ON dv.node = c.v""").localCheckpoint(eager=True)
+        oriented = caching.stage_view(od, "tri_oriented")
+        return spark.sql(f"""
+            WITH wedge AS (SELECT o1.src AS a, o1.dst AS b, o2.dst AS c
+                           FROM {oriented} o1 JOIN {oriented} o2
+                             ON o1.src = o2.src AND o1.dst < o2.dst),
+            tri AS (SELECT w.a, w.b, w.c
+                    FROM wedge w JOIN {canon} e
+                      ON e.u = least(w.b, w.c)
+                     AND e.v = greatest(w.b, w.c))
+            SELECT node, cast(count(*) as bigint) AS n_triangles
+            FROM (SELECT a AS node FROM tri
+                  UNION ALL SELECT b FROM tri
+                  UNION ALL SELECT c FROM tri)
+            GROUP BY node""")
 
     REGISTRY["graph_triangles"] = Query(
         "graph_triangles", fn, oracle,

@@ -222,6 +222,44 @@ def main() -> None:
         f"(the final per-zone hash agg only)\n"
     )
 
+    # round-5 widening pass: the new corpus-analytics / spatial / graph
+    # shapes must all be equi-join + hash-agg + partitioned-window plans —
+    # zero Python operators, zero cartesian/nested-loop joins anywhere
+    for name, note in (
+        ("text_tfidf_topk",
+         "per-doc window + term-keyed join; n_docs is a once-executed "
+         "scalar subquery"),
+        ("geo_radius_pairs_join",
+         "cell-keyed equi join after 3x3 probe explode; integer refine "
+         "in codegen"),
+        ("pareto_skyline",
+         "phase-1 windows PARTITIONED by bucket (parallel); only the "
+         "small-survivor phase-2 window is global"),
+        ("graph_triangles",
+         "orientation + wedge + closure as three equi joins"),
+        ("trajectory_tile_length",
+         "successor equi-join on doc_id+1 — no lag() window"),
+        ("pyramid_version_diff",
+         "one FULL OUTER equi-join on the tile key (the nested-loop "
+         "joins counted below are the INTENDED 9-row literal zoom-list "
+         "fan-out broadcasts, same as every pyramid plan — not "
+         "data-x-data cartesians)"),
+    ):
+        s = plan_of(REGISTRY[name].spark_fn(spark, sf))
+        pyops = (s.count("MapInPandas") + s.count("ArrowEvalPython")
+                 + s.count("BatchEvalPython"))
+        bad = s.count("CartesianProduct") + s.count("BroadcastNestedLoop")
+        out.append(
+            f"## {name} (round-5 widening)\n\n"
+            f"- {note}\n"
+            f"- Python operators: **{pyops}**; cartesian/nested-loop "
+            f"joins: **{bad}**\n"
+            f"- join strategies: "
+            f"{sorted({w for w in s.split() if w.endswith('Join')})}; "
+            f"HashAggregate: {s.count('HashAggregate')}; "
+            f"Window: {s.count('Window')}\n"
+        )
+
     # bucketing: two tables bucketed on the cell key join WITHOUT a shuffle
     # (the co-located-join strategy for repeated tile/cell joins at 100 TB)
     from cloudtile_spark import cells
