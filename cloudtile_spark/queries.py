@@ -4485,6 +4485,101 @@ _shared_sql(
 )
 
 
+def _init_funnel_and_bigrams() -> None:
+    """Two last analytics shapes: the ordered conversion funnel (strict
+    temporal chaining — NOT the unordered 'did all three' intersection)
+    and bigram language-model counts (the n-gram COUNTING primitive
+    beside the shipped n-gram Jaccard/shingle machinery)."""
+
+    # view -> click-after-view -> purchase-after-click, per user; each
+    # stage is one filtered min-aggregate plus an equi-join on user_id
+    # against the previous stage (all hash-partitionable, no windows).
+    # The v-stage has no table alias, so its micros expression is built
+    # separately from the aliased stages'.
+    def funnel_sql2(m_plain: str, m_e: str) -> str:
+        return f"""
+        WITH v AS (SELECT user_id, min({m_plain}) AS t
+                   FROM events WHERE event_type = 'view'
+                   GROUP BY user_id),
+        c AS (SELECT e.user_id, min({m_e}) AS t
+              FROM events e JOIN v ON v.user_id = e.user_id
+              WHERE e.event_type = 'click' AND {m_e} > v.t
+              GROUP BY e.user_id),
+        p AS (SELECT e.user_id, min({m_e}) AS t
+              FROM events e JOIN c ON c.user_id = e.user_id
+              WHERE e.event_type = 'purchase' AND {m_e} > c.t
+              GROUP BY e.user_id)
+        SELECT stage, n_users FROM (
+          SELECT 1 AS stage, cast(count(*) as bigint) AS n_users FROM v
+          UNION ALL
+          SELECT 2, cast(count(*) as bigint) FROM c
+          UNION ALL
+          SELECT 3, cast(count(*) as bigint) FROM p) s
+        """
+
+    def funnel_fn2(spark: SparkSession, sf_dir: str) -> DataFrame:
+        load_views(spark, sf_dir)
+        return spark.sql(funnel_sql2(
+            "unix_micros(cast(ts as timestamp))",
+            "unix_micros(cast(e.ts as timestamp))"))
+
+    REGISTRY["events_funnel_conversion"] = Query(
+        "events_funnel_conversion", funnel_fn2,
+        funnel_sql2("epoch_us(cast(ts as timestamp))",
+                    "epoch_us(cast(e.ts as timestamp))"),
+        "ordered conversion funnel (view -> click AFTER the first view -> "
+        "purchase AFTER that click): strict temporal chaining via three "
+        "filtered min-aggregates + user-keyed equi-joins — no windows, "
+        "no per-user sort",
+    )
+
+    # bigram counts: position-indexed tokens (posexplode / zipped
+    # parallel unnest) self-joined on (doc_id, pos+1) — the same
+    # parallel successor-join shape as the trajectory rollup, never a
+    # per-doc Python loop; global top-20 with count-desc, bigram-asc
+    # determinism (TakeOrderedAndProject, no full sort).
+    def bigram_sql(pos_terms: str) -> str:
+        return f"""
+        WITH c AS (
+          SELECT doc_id,
+                 split(trim(regexp_replace(regexp_replace(lower(text),
+                      '[^a-z0-9 ]', ' '{{f}}), ' +', ' '{{f}})), ' ')
+                   AS terms
+          FROM documents),
+        t AS ({pos_terms}),
+        b AS (SELECT concat(a.term, ' ', b.term) AS bigram
+              FROM t a JOIN t b
+                ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+              WHERE a.term <> '' AND b.term <> '')
+        SELECT bigram, cast(count(*) as bigint) AS n
+        FROM b GROUP BY bigram
+        ORDER BY n DESC, bigram ASC LIMIT 20
+        """
+
+    spark_bigram = bigram_sql(
+        "SELECT doc_id, pos, term FROM c "
+        "LATERAL VIEW posexplode(terms) x AS pos, term"
+    ).replace("{f}", "")
+    duck_bigram = bigram_sql(
+        "SELECT doc_id, unnest(range(0, len(terms))) AS pos, "
+        "unnest(terms) AS term FROM c"
+    ).replace("{f}", ", 'g'")
+
+    def bigram_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        load_views(spark, sf_dir)
+        return spark.sql(spark_bigram)
+
+    REGISTRY["text_bigram_topk"] = Query(
+        "text_bigram_topk", bigram_fn, duck_bigram,
+        "top-20 corpus bigrams: position-indexed tokens self-joined on "
+        "(doc_id, pos+1), hash-agg counts, deterministic tie-break — "
+        "n-gram LM counting with no Python and no full sort",
+    )
+
+
+_init_funnel_and_bigrams()
+
+
 def _attach_golden_oracles() -> None:
     """Queries whose output is deterministic but not SQL-expressible (MVT
     byte lengths, rasterized pixel counts, the extraction invariant) get
