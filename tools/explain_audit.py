@@ -244,6 +244,12 @@ def main() -> None:
          "joins counted below are the INTENDED 9-row literal zoom-list "
          "fan-out broadcasts, same as every pyramid plan — not "
          "data-x-data cartesians)"),
+        ("events_funnel_conversion",
+         "three filtered min-aggs chained by user-keyed equi-joins; "
+         "no windows, no per-user sort"),
+        ("text_bigram_topk",
+         "successor self-join on (doc_id, pos+1); top-20 plans as "
+         "TakeOrderedAndProject, not a full sort"),
     ):
         s = plan_of(REGISTRY[name].spark_fn(spark, sf))
         pyops = (s.count("MapInPandas") + s.count("ArrowEvalPython")
