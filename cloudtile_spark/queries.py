@@ -4580,6 +4580,240 @@ def _init_funnel_and_bigrams() -> None:
 _init_funnel_and_bigrams()
 
 
+def _init_temporal_and_densify() -> None:
+    """Round-5 widening, second wave: the remaining time-series primitives
+    a hypertable-style engine ships (gap-fill + LOCF, range-framed sliding
+    windows, changelog time-travel) plus line densification — the geometry
+    op tippecanoe applies before tiling curved features (reference
+    semantics anchor: tippecanoe's segment subdivision during
+    simplification/clipping, tippecanoe.yaml:70). All four are pure-JVM
+    codegen SQL with exact integer math; no Python anywhere."""
+
+    # --- ts_gap_fill: hourly spine + LOCF (TimescaleDB time_bucket_gapfill
+    # / locf shape). The heavy input rollup is a map-combinable hash agg
+    # over raw events; the spine is an integer sequence of epoch-HOURS
+    # (tiny: O(time range), independent of row count), and the LOCF window
+    # runs over the spine grid only — at 100 TB the window input is still
+    # n_series x n_hours, never the raw table. Values are quantized to
+    # integer micro-units before summing so the rollup is fold-order-free.
+    def gapfill_sql(micros: str, spine: str, locf: str) -> str:
+        return f"""
+        WITH e AS (SELECT event_type,
+                          cast(floor({micros} / 3600000000.0) as bigint)
+                            AS hr,
+                          cast(floor(value * 1000000.0) as bigint) AS v_u
+                   FROM events),
+        hourly AS (SELECT event_type, hr,
+                          cast(sum(v_u) as bigint) AS hr_sum,
+                          cast(count(*) as bigint) AS n_obs
+                   FROM e GROUP BY event_type, hr),
+        bounds AS (SELECT min(hr) AS lo, max(hr) AS hi FROM hourly),
+        spine AS ({spine}),
+        types AS (SELECT DISTINCT event_type FROM events),
+        grid AS (SELECT t.event_type, s.hr FROM types t CROSS JOIN spine s),
+        j AS (SELECT g.event_type, g.hr, h.hr_sum,
+                     coalesce(h.n_obs, cast(0 as bigint)) AS n_obs
+              FROM grid g LEFT JOIN hourly h
+                ON h.event_type = g.event_type AND h.hr = g.hr)
+        SELECT event_type, hr AS hour_bucket, n_obs,
+               coalesce({locf}, cast(-1 as bigint)) AS locf_sum_u
+        FROM j
+        """
+
+    _OVER_LOCF = ("OVER (PARTITION BY event_type ORDER BY hr "
+                  "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+
+    duck_gapfill = gapfill_sql(
+        "epoch_us(cast(ts as timestamp))",
+        "SELECT unnest(range(lo, hi + 1)) AS hr FROM bounds",
+        f"last_value(hr_sum IGNORE NULLS) {_OVER_LOCF}")
+
+    def gapfill_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Catalyst inlines CTEs, so the one-statement shape rescans the
+        # raw events table for the bounds and the series list (3 full
+        # scans at 100 TB). Stage the hourly rollup instead: ONE events
+        # scan builds it, and the spine, series list, grid, and LOCF
+        # window all derive from the staged (tiny: n_series x n_hours)
+        # relation. The oracle keeps the single-statement shape — DuckDB
+        # materializes CTEs, so its plan is already single-scan.
+        load_views(spark, sf_dir)
+        hourly = spark.sql(
+            """
+            SELECT event_type,
+                   cast(floor(unix_micros(cast(ts as timestamp))
+                              / 3600000000.0) as bigint) AS hr,
+                   cast(sum(cast(floor(value * 1000000.0) as bigint))
+                     as bigint) AS hr_sum,
+                   cast(count(*) as bigint) AS n_obs
+            FROM events GROUP BY event_type,
+                 cast(floor(unix_micros(cast(ts as timestamp))
+                            / 3600000000.0) as bigint)
+            """)
+        vh = caching.stage_view(hourly, "gapfill_hourly")
+        return spark.sql(f"""
+            WITH bounds AS (SELECT min(hr) AS lo, max(hr) AS hi FROM {vh}),
+            spine AS (SELECT explode(sequence(lo, hi)) AS hr FROM bounds),
+            types AS (SELECT DISTINCT event_type FROM {vh}),
+            grid AS (SELECT t.event_type, s.hr
+                     FROM types t CROSS JOIN spine s),
+            j AS (SELECT g.event_type, g.hr, h.hr_sum,
+                         coalesce(h.n_obs, cast(0 as bigint)) AS n_obs
+                  FROM grid g LEFT JOIN {vh} h
+                    ON h.event_type = g.event_type AND h.hr = g.hr)
+            SELECT event_type, hr AS hour_bucket, n_obs,
+                   coalesce(last_value(hr_sum, true) {_OVER_LOCF},
+                            cast(-1 as bigint)) AS locf_sum_u
+            FROM j
+            """)
+
+    REGISTRY["ts_gap_fill"] = Query(
+        "ts_gap_fill", gapfill_fn, duck_gapfill,
+        "hypertable gap-fill + LOCF: hourly hash-agg rollup -> integer "
+        "epoch-hour spine (explode(sequence) / unnest(range)) -> left "
+        "join -> last-observation-carried-forward via an ignore-nulls "
+        "running window over the SPINE grid (n_series x n_hours), never "
+        "the raw table; -1 marks hours before the first observation",
+    )
+
+    # --- events_rolling_24h: value-RANGE-framed sliding window (the batch
+    # twin of a 24h sliding stream aggregation). The frame is defined on
+    # integer epoch-SECONDS, so rows tied on the same second get the same
+    # frame regardless of intra-second order — the output is total-order-
+    # free even though ties exist. Partitioned by user_id: at 100 TB the
+    # shuffle is one hash exchange on the user key and each partition
+    # sorts only its own user's rows (no global sort).
+    def rolling_sql(micros: str) -> str:
+        return f"""
+        WITH e AS (SELECT user_id, event_id,
+                          cast(floor({micros} / 1000000.0) as bigint)
+                            AS secs,
+                          cast(floor(value * 1000000.0) as bigint) AS v_u
+                   FROM events WHERE user_id % 20 = 0)
+        SELECT user_id, event_id, secs,
+               cast(count(*) OVER w as bigint) AS n_24h,
+               cast(sum(v_u) OVER w as bigint) AS sum_u_24h
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY secs
+                     RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW)
+        """
+
+    def rolling_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        load_views(spark, sf_dir)
+        return spark.sql(rolling_sql("unix_micros(cast(ts as timestamp))"))
+
+    REGISTRY["events_rolling_24h"] = Query(
+        "events_rolling_24h", rolling_fn,
+        rolling_sql("epoch_us(cast(ts as timestamp))"),
+        "24h sliding aggregate per user via a RANGE-framed window on "
+        "integer epoch-seconds (tie-safe: same-second rows share a "
+        "frame); one hash exchange on user_id, per-user local sort only",
+    )
+
+    # --- snapshot_time_travel: changelog replay / MVCC read-at-version
+    # (the Iceberg time-travel shape; complements merge_upsert_snapshot's
+    # single MERGE and scd2's validity intervals). orders is read as an
+    # upsert/delete log on o_custkey ordered by the unique o_orderkey;
+    # state at each of 4 snapshot cutoffs is last-writer-wins among
+    # entries with seq <= cutoff, dropping keys whose last op is a
+    # delete. At 100 TB the theta-join against the tiny versions table is
+    # a 4x broadcast fan-out and the replay is ONE hash exchange on
+    # (version, key) + a per-key top-1 window (or max-seq semi-join).
+    time_travel_sql = """
+    WITH log AS (
+      SELECT o_custkey AS k, o_orderkey AS seq,
+             CASE WHEN o_orderkey % 13 = 0 THEN 'D' ELSE 'U' END AS op,
+             cast(floor(o_totalprice * 100.0) as bigint) AS val_c
+      FROM orders),
+    vmax AS (SELECT max(seq) AS hi FROM log),
+    versions AS (SELECT cast(v.p as bigint) AS version,
+                        cast(floor(v.p * (SELECT hi FROM vmax) / 4.0)
+                          as bigint) AS v_seq
+                 FROM (VALUES (1), (2), (3), (4)) AS v(p)),
+    st AS (SELECT v.version, l.k, l.op, l.val_c,
+                  row_number() OVER (PARTITION BY v.version, l.k
+                                     ORDER BY l.seq DESC) AS rn
+           FROM log l JOIN versions v ON l.seq <= v.v_seq),
+    live AS (SELECT version, k, val_c FROM st WHERE rn = 1 AND op = 'U')
+    SELECT version, cast(count(*) as bigint) AS n_live_keys,
+           cast(sum(val_c) as bigint) AS total_val_c,
+           cast(min(k) as bigint) AS min_key,
+           cast(max(k) as bigint) AS max_key
+    FROM live GROUP BY version
+    """
+    _shared_sql(
+        "snapshot_time_travel", time_travel_sql,
+        doc="changelog time-travel read: orders as an upsert/delete log, "
+            "last-writer-wins state reconstructed at 4 snapshot cutoffs "
+            "(broadcast theta-join on the versions table, one hash "
+            "exchange on (version, key), per-key top-1 window); integer "
+            "cent totals so the per-version rollup is order-free",
+    )
+
+    # --- geo_line_interpolate: densify consecutive-point segments at a
+    # fixed micro-degree step before tiling (tippecanoe subdivides curved
+    # features so clipping at high zooms stays exact). The lerp is exact
+    # integer rational math — point_i = floor((a*(n-i) + b*i) / n) with
+    # products < 2^32, bit-identical across engines — and the fan-out is
+    # bounded (n <= 8 per segment), so the explode is O(8m) worst case
+    # with no skew amplification. Rolled up to z10 tile counts.
+    def densify_sql(spine: str) -> str:
+        px = "cast(floor((ax * (n - i) + bx * i) / cast(n as double)) as bigint)"
+        py = "cast(floor((ay * (n - i) + byy * i) / cast(n as double)) as bigint)"
+        lon = "(px / 1000000.0 - 180.0)"
+        lat = "(py / 1000000.0 - 90.0)"
+        return f"""
+        WITH {_GEO_CTE},
+        p AS (SELECT doc_id,
+                     cast(floor((lon + 180.0) * 1000000.0) as bigint) AS mx,
+                     cast(floor((lat + 90.0) * 1000000.0) as bigint) AS my
+              FROM geo),
+        seg AS (SELECT a.doc_id, a.mx AS ax, a.my AS ay,
+                       b.mx AS bx, b.my AS byy,
+                       cast(floor(sqrt(cast(
+                            (a.mx - b.mx) * (a.mx - b.mx)
+                            + (a.my - b.my) * (a.my - b.my) as double)))
+                         as bigint) AS len_u
+                FROM p a JOIN p b ON b.doc_id = a.doc_id + 1),
+        sn AS (SELECT doc_id, ax, ay, bx, byy,
+                      least(cast(floor(len_u / 2000000.0) as bigint) + 1,
+                            cast(8 as bigint)) AS n
+               FROM seg),
+        pts AS (SELECT doc_id, {px} AS px, {py} AS py FROM ({spine}) s),
+        t AS (SELECT doc_id,
+                     {tiles.tile_x_sql(lon, '10')} AS x,
+                     {tiles.tile_y_sql(lat, '10')} AS y
+              FROM pts)
+        SELECT x, y, cast(count(*) as bigint) AS n_pts,
+               cast(count(distinct doc_id) as bigint) AS n_segs,
+               cast(min(doc_id) as bigint) AS min_seg
+        FROM t GROUP BY x, y
+        """
+
+    spark_densify = densify_sql(
+        "SELECT doc_id, ax, ay, bx, byy, n, i FROM sn "
+        "LATERAL VIEW explode(sequence(0, n - 1)) v AS i")
+    duck_densify = densify_sql(
+        "SELECT doc_id, ax, ay, bx, byy, n, "
+        "unnest(range(0, n)) AS i FROM sn")
+
+    def densify_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        load_views(spark, sf_dir)
+        return spark.sql(spark_densify)
+
+    REGISTRY["geo_line_interpolate"] = Query(
+        "geo_line_interpolate", densify_fn, duck_densify,
+        "line densification before tiling: consecutive-point segments "
+        "interpolated every ~2 deg via EXACT integer rational lerp "
+        "(floor((a*(n-i)+b*i)/n), products < 2^32 -> bit-identical "
+        "across engines), bounded fan-out n<=8, rolled up to z10 tiles; "
+        "the successor lookup is the parallel doc_id+1 equi-join, not a "
+        "global lag window",
+    )
+
+
+_init_temporal_and_densify()
+
+
 def _attach_golden_oracles() -> None:
     """Queries whose output is deterministic but not SQL-expressible (MVT
     byte lengths, rasterized pixel counts, the extraction invariant) get
