@@ -133,6 +133,42 @@ def incremental_tile_counts(stream: DataFrame, minz: int, maxz: int) -> DataFram
     )
 
 
+def sliding_counts(stream: DataFrame,
+                   duration: str = "2 hours",
+                   slide: str = "1 hour") -> DataFrame:
+    """OVERLAPPING (sliding) window counts per event_type — the streaming
+    shape hourly_counts (tumbling) does not cover: each event lands in
+    duration/slide windows, so the operator tests window REPLICATION, not
+    just bucketing. Same ``F.window`` call serves batch and stream; the
+    parity test runs this exact function in both modes. Watermark bounds
+    state to (duration + lateness) per key."""
+    return (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", duration, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("win_start"),
+                F.col("w.end").alias("win_end"), "event_type", "n")
+    )
+
+
+def run_to_parquet_once(stream_df: DataFrame, out_dir: str,
+                        checkpoint_dir: str):
+    """One availableNow pass into a parquet sink with a durable
+    checkpointLocation — the restart/exactly-once contract: a SECOND call
+    with the same checkpoint processes only source files the first pass
+    had not committed (file-source offsets are replayed from the
+    checkpoint's offset/commit logs), so a crash between passes never
+    duplicates or drops rows."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def run_to_memory(stream_df: DataFrame, name: str, mode: str = "update"):
     """Drive a streaming DF into a memory sink until idle; returns the query."""
     q = (
