@@ -4814,6 +4814,75 @@ def _init_temporal_and_densify() -> None:
 _init_temporal_and_densify()
 
 
+def _init_inverted_index() -> None:
+    """Inverted index build (term -> df/cf + ordered posting head) — the
+    search-engine primitive behind the corpus: one tokenize+explode, one
+    (term, doc) hash agg for term frequencies, one per-term window for the
+    bounded posting head. Determinism: postings are zero-padded doc_id
+    strings so lexicographic order == numeric order, assembled via
+    sort-then-join (Spark) / ordered string_agg (DuckDB) — never an
+    unordered collect. At 100 TB the (term, doc) agg is map-side
+    combinable and the posting-head window is bounded to 10 rows per term
+    by a rank predicate BEFORE the string assembly (no unbounded state);
+    term skew (stopwords) is absorbed by the pre-agg, which caps any
+    term's fan-in at its document frequency, already one row per doc."""
+
+    def index_sql(pos_terms: str, agg: str) -> str:
+        return f"""
+        WITH c AS (
+          SELECT doc_id,
+                 split(trim(regexp_replace(regexp_replace(lower(text),
+                      '[^a-z0-9 ]', ' '{{f}}), ' +', ' '{{f}})), ' ')
+                   AS terms
+          FROM documents),
+        t AS ({pos_terms}),
+        tf AS (SELECT term, doc_id, cast(count(*) as bigint) AS tf
+               FROM t WHERE term <> '' GROUP BY term, doc_id),
+        r AS (SELECT term, doc_id, tf,
+                     row_number() OVER (PARTITION BY term
+                                        ORDER BY doc_id) AS rn
+              FROM tf),
+        heads AS (SELECT term,
+                         {agg} AS postings_head
+                  FROM (SELECT term,
+                               concat(lpad(cast(doc_id as string), 8, '0'),
+                                      ':', cast(tf as string)) AS p
+                        FROM r WHERE rn <= 10) hp
+                  GROUP BY term),
+        stats AS (SELECT term, cast(count(*) as bigint) AS df,
+                         cast(sum(tf) as bigint) AS cf
+                  FROM tf GROUP BY term)
+        SELECT s.term, s.df, s.cf, h.postings_head
+        FROM stats s JOIN heads h ON h.term = s.term
+        WHERE s.df >= 5
+        """
+
+    spark_index = index_sql(
+        "SELECT doc_id, term FROM c "
+        "LATERAL VIEW explode(terms) x AS term",
+        "array_join(array_sort(collect_list(p)), ' ')",
+    ).replace("{f}", "")
+    duck_index = index_sql(
+        "SELECT doc_id, unnest(terms) AS term FROM c",
+        "string_agg(p, ' ' ORDER BY p)",
+    ).replace("{f}", ", 'g'")
+
+    def index_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        load_views(spark, sf_dir)
+        return spark.sql(spark_index)
+
+    REGISTRY["text_inverted_index"] = Query(
+        "text_inverted_index", index_fn, duck_index,
+        "inverted index: (term, doc) map-combinable tf agg -> df/cf "
+        "rollup + rank-bounded 10-posting head assembled order-"
+        "deterministically (zero-padded sort keys); stopword skew "
+        "absorbed by the pre-agg",
+    )
+
+
+_init_inverted_index()
+
+
 def _attach_golden_oracles() -> None:
     """Queries whose output is deterministic but not SQL-expressible (MVT
     byte lengths, rasterized pixel counts, the extraction invariant) get
