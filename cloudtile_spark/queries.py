@@ -4883,6 +4883,255 @@ def _init_inverted_index() -> None:
 _init_inverted_index()
 
 
+def _init_wave3_llm() -> None:
+    """Round-5 widening, third wave: the webtext-pipeline quality/dedup
+    primitives a production LLM corpus build runs that the registry did
+    not yet cover — Gopher-style repetition rules (Rae et al. 2021 §A1.1),
+    C4-style global chunk dedup (Raffel et al. 2020 §2.2's three-sentence
+    span rule, re-expressed over fixed word chunks since the synthetic
+    corpus has no sentence boundaries), benchmark decontamination
+    (n-gram-overlap flagging, GPT-3 appendix C shape), and PII scrubbing.
+
+    All four are pure-JVM codegen SQL: regexp + array-lambda n-gram
+    generation, hash aggs, and one equi-join each — no Python, no UDF.
+    Fractions keep integer numerators/denominators until a single final
+    IEEE division (exactly rounded, so Spark and DuckDB hashes agree),
+    and pass/fail thresholds are evaluated in integer cross-multiplied
+    form to avoid float-compare edges. At 100 TB every shape here is a
+    map-combinable hash agg or an equi-join on a gram/chunk hash key —
+    the same blocked-never-all-pairs discipline as operators/dedup.py."""
+
+    _G = ", 'g'"  # DuckDB global-replace regexp flag
+
+    # shared tokenizer (identical normalization to text_bigram_topk);
+    # DuckDB needs the explicit 'g' regexp flag, Spark replaces all
+    # matches by default
+    def tok(f: str) -> str:
+        return (
+            "c0 AS (SELECT doc_id, trim(regexp_replace(regexp_replace("
+            f"lower(text), '[^a-z0-9 ]', ' '{f}), ' +', ' '{f})) AS clean"
+            " FROM documents),\n"
+            "    c AS (SELECT doc_id, length(clean) AS norm_len,"
+            " split(clean, ' ') AS terms FROM c0)"
+        )
+
+    # position-indexed OVERLAPPING word w-grams (one row per window).
+    # Spark: sequence() descends when stop < start, so the short-doc
+    # guard must produce an empty array, not sequence(0, -1).
+    def grams_spark(name: str, w: int) -> str:
+        return (
+            f"{name} AS (SELECT doc_id, pos, gram FROM c "
+            f"LATERAL VIEW posexplode(CASE WHEN size(terms) >= {w} THEN "
+            f"transform(sequence(0, size(terms) - {w}), "
+            f"i -> array_join(slice(terms, i + 1, {w}), ' ')) "
+            f"ELSE cast(array() as array<string>) END) x AS pos, gram)"
+        )
+
+    # DuckDB: range(0, n) is empty when n <= 0; parallel unnests zip
+    def grams_duck(name: str, w: int) -> str:
+        return (
+            f"{name} AS (SELECT doc_id, "
+            f"unnest(range(0, len(terms) - {w} + 1)) AS pos, "
+            f"unnest(list_transform(range(0, len(terms) - {w} + 1), "
+            f"i -> array_to_string(list_slice(terms, i + 1, i + {w}), ' '))) AS gram "
+            f"FROM c)"
+        )
+
+    # NON-overlapping word chunks of width w (the C4 dedup unit)
+    def chunks_spark(name: str, w: int) -> str:
+        return (
+            f"{name} AS (SELECT doc_id, pos, chunk FROM c "
+            f"LATERAL VIEW posexplode(CASE WHEN size(terms) >= {w} THEN "
+            f"transform(sequence(0, (size(terms) div {w}) - 1), "
+            f"k -> array_join(slice(terms, k * {w} + 1, {w}), ' ')) "
+            f"ELSE cast(array() as array<string>) END) x AS pos, chunk)"
+        )
+
+    def chunks_duck(name: str, w: int) -> str:
+        return (
+            f"{name} AS (SELECT doc_id, "
+            f"unnest(range(0, len(terms) // {w})) AS pos, "
+            f"unnest(list_transform(range(0, len(terms) // {w}), "
+            f"k -> array_to_string(list_slice(terms, k * {w} + 1,"
+            f" k * {w} + {w}), ' '))) AS chunk FROM c)"
+        )
+
+    # --- dedup_chunks_global: C4-style corpus-global exact chunk dedup.
+    # Keeper = globally FIRST occurrence in (doc_id, position) order,
+    # packed into one bigint so the keeper choice is a plain min() hash
+    # agg (no window, no sort). Per-doc survival stats come from one
+    # equi-join back on the chunk text. At 100 TB: grams shuffle once on
+    # the chunk key (hash agg), then once more for the join — both
+    # key-partitioned; nothing is all-pairs and no driver state exists.
+    _CHUNK_TAIL = """
+    f AS (SELECT chunk, min(doc_id * 100000 + pos) AS first_key
+          FROM h GROUP BY chunk)
+    SELECT h.doc_id,
+           cast(count(*) as bigint) AS n_chunks,
+           cast(sum(CASE WHEN h.doc_id * 100000 + h.pos = f.first_key
+                         THEN 1 ELSE 0 END) as bigint) AS n_kept,
+           cast(sum(CASE WHEN h.doc_id * 100000 + h.pos = f.first_key
+                         THEN 0 ELSE 1 END) as bigint) AS n_removed
+    FROM h JOIN f ON f.chunk = h.chunk
+    GROUP BY h.doc_id
+    """
+    spark_chunks = (f"WITH {tok('')},\n    {chunks_spark('h', 5)},\n"
+                    + _CHUNK_TAIL)
+    duck_chunks = (f"WITH {tok(_G)},"
+                   f"\n    {chunks_duck('h', 5)},\n" + _CHUNK_TAIL)
+
+    def chunks_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        load_views(spark, sf_dir)
+        return spark.sql(spark_chunks)
+
+    REGISTRY["dedup_chunks_global"] = Query(
+        "dedup_chunks_global", chunks_fn, duck_chunks,
+        "C4-style corpus-GLOBAL exact chunk dedup (5-word units): keeper "
+        "= first (doc_id, pos) occurrence via packed-bigint min() hash "
+        "agg, per-doc kept/removed stats via one chunk-keyed equi-join — "
+        "no window, no sort, no Python",
+    )
+
+    # --- text_repetition_gopher: Gopher repetition rules. Per doc:
+    # (a) fraction of normalized chars covered by occurrences of the
+    #     MOST FREQUENT word 2-gram (chars = cnt * length(gram); ties
+    #     broken by gram text so the argmax is deterministic), and
+    # (b) fraction of 5-gram chars that sit in DUPLICATED 5-grams
+    #     (sum cnt*len over grams with cnt >= 2, over sum cnt*len).
+    # Thresholds (top2 <= 0.20, dup5 <= 0.30) are evaluated by integer
+    # cross-multiplication — no float comparisons anywhere; the two
+    # reported fractions are single exact IEEE divisions.
+    _GOPHER_TAIL = """
+    g2 AS (SELECT doc_id, gram, count(*) AS cnt
+           FROM t2 GROUP BY doc_id, gram),
+    top2 AS (SELECT doc_id, cnt * length(gram) AS top_chars,
+                    row_number() OVER (PARTITION BY doc_id
+                        ORDER BY cnt DESC, gram ASC) AS rn
+             FROM g2),
+    g5 AS (SELECT doc_id, gram, count(*) AS cnt
+           FROM t5 GROUP BY doc_id, gram),
+    d5 AS (SELECT doc_id,
+                  sum(CASE WHEN cnt >= 2 THEN cnt * length(gram)
+                           ELSE 0 END) AS dup_chars,
+                  sum(cnt * length(gram)) AS all_chars
+           FROM g5 GROUP BY doc_id)
+    SELECT c.doc_id,
+           cast(coalesce(t.top_chars, 0) as bigint) AS top2_chars,
+           cast(c.norm_len as bigint) AS norm_chars,
+           cast(coalesce(t.top_chars, 0) as double)
+             / cast(c.norm_len as double) AS top2_frac,
+           cast(coalesce(d.dup_chars, 0) as bigint) AS dup5_chars,
+           cast(coalesce(d.all_chars, 0) as bigint) AS all5_chars,
+           CASE WHEN coalesce(t.top_chars, 0) * 5 <= c.norm_len
+                 AND coalesce(d.dup_chars, 0) * 10
+                     <= coalesce(d.all_chars, 0) * 3
+                THEN 1 ELSE 0 END AS passes_gopher
+    FROM c
+    LEFT JOIN (SELECT doc_id, top_chars FROM top2 WHERE rn = 1) t
+      ON t.doc_id = c.doc_id
+    LEFT JOIN d5 d ON d.doc_id = c.doc_id
+    WHERE c.norm_len > 0
+    """
+    spark_gopher = (f"WITH {tok('')},\n    {grams_spark('t2', 2)},\n"
+                    f"    {grams_spark('t5', 5)},\n" + _GOPHER_TAIL)
+    duck_gopher = (f"WITH {tok(_G)},"
+                   f"\n    {grams_duck('t2', 2)},\n"
+                   f"    {grams_duck('t5', 5)},\n" + _GOPHER_TAIL)
+
+    def gopher_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        load_views(spark, sf_dir)
+        return spark.sql(spark_gopher)
+
+    REGISTRY["text_repetition_gopher"] = Query(
+        "text_repetition_gopher", gopher_fn, duck_gopher,
+        "Gopher repetition quality rules: top-2-gram char fraction + "
+        "duplicated-5-gram char fraction per doc, integer-exact "
+        "thresholds — per-doc hash aggs and one deterministic argmax "
+        "window, no Python",
+    )
+
+    # --- text_decontaminate: benchmark-overlap flagging. The 'eval set'
+    # is derived deterministically from the corpus itself (every 8-gram
+    # of docs with doc_id % 10 < 2 — the realistic case: benchmark text
+    # that also exists on the web), and EVERY corpus doc sharing >= 1
+    # 8-gram with it is flagged with its collision count. Join key is
+    # md5(gram): at 100 TB the bench side is the small side (broadcast)
+    # and the scan side shuffles 16-byte keys, not gram text.
+    _DECON_TAIL = """
+    bench AS (SELECT DISTINCT md5(gram) AS g FROM t
+              WHERE doc_id % 10 < 2),
+    d AS (SELECT DISTINCT doc_id, md5(gram) AS g FROM t)
+    SELECT d.doc_id, cast(count(*) as bigint) AS n_shared_8grams
+    FROM d JOIN bench b ON b.g = d.g
+    GROUP BY d.doc_id
+    """
+    spark_decon = (f"WITH {tok('')},\n    {grams_spark('t', 8)},\n"
+                   + _DECON_TAIL)
+    duck_decon = (f"WITH {tok(_G)},"
+                  f"\n    {grams_duck('t', 8)},\n" + _DECON_TAIL)
+
+    def decon_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        load_views(spark, sf_dir)
+        return spark.sql(spark_decon)
+
+    REGISTRY["text_decontaminate"] = Query(
+        "text_decontaminate", decon_fn, duck_decon,
+        "benchmark decontamination: flag every corpus doc sharing >= 1 "
+        "word-8-gram with a deterministically derived eval set; "
+        "md5-keyed equi-join (bench side broadcastable), distinct + "
+        "count hash aggs",
+    )
+
+    # --- text_pii_scrub: plant deterministic emails/phones into a
+    # derived corpus (the same plant-inside-the-query discipline as
+    # operators/dedup.py's planted near-dups — testdata is read-only),
+    # then count + redact with backslash-free regexes (no literal-escape
+    # dialect divergence). The redacted md5 proves byte-identical scrub
+    # output across engines.
+    _EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}"
+    _PHONE_RE = "[0-9]{3}-[0-9]{4}"
+
+    def pii_sql(f: str, count_fn: str) -> str:
+        n_email = count_fn.format(col="body", pat=_EMAIL_RE)
+        n_phone = count_fn.format(col="body", pat=_PHONE_RE)
+        return f"""
+        WITH p AS (
+          SELECT doc_id, text ||
+            CASE WHEN doc_id % 7 = 0 THEN ' contact user'
+                   || cast(doc_id as string) || '@example.com for details'
+                 WHEN doc_id % 7 = 3 THEN ' call 555-'
+                   || lpad(cast(doc_id % 10000 as string), 4, '0')
+                   || ' today'
+                 ELSE '' END AS body
+          FROM documents)
+        SELECT doc_id,
+               cast({n_email} as bigint) AS n_emails,
+               cast({n_phone} as bigint) AS n_phones,
+               md5(regexp_replace(regexp_replace(body,
+                   '{_EMAIL_RE}', '<EMAIL>'{f}),
+                   '{_PHONE_RE}', '<PHONE>'{f})) AS redacted_md5
+        FROM p
+        """
+
+    spark_pii = pii_sql("", "size(regexp_extract_all({col}, '{pat}', 0))")
+    duck_pii = pii_sql(", 'g'", "len(regexp_extract_all({col}, '{pat}'))")
+
+    def pii_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        load_views(spark, sf_dir)
+        return spark.sql(spark_pii)
+
+    REGISTRY["text_pii_scrub"] = Query(
+        "text_pii_scrub", pii_fn, duck_pii,
+        "PII scrub: count + redact planted emails/phone numbers with "
+        "backslash-free regexes; md5 of the redacted text proves "
+        "byte-identical scrub output across engines — all codegen "
+        "regexp, no Python",
+    )
+
+
+_init_wave3_llm()
+
+
 def _attach_golden_oracles() -> None:
     """Queries whose output is deterministic but not SQL-expressible (MVT
     byte lengths, rasterized pixel counts, the extraction invariant) get
