@@ -5132,6 +5132,187 @@ def _init_wave3_llm() -> None:
 _init_wave3_llm()
 
 
+def _init_wave4_training() -> None:
+    """Round-5 widening, fourth wave: the remaining training-data-plant
+    shapes — sequence packing (concat-and-cut, the standard LLM
+    pretraining batch layout), a from-scratch count-min sketch
+    (Cormode & Muthukrishnan 2005) hash-oracled end-to-end like the r4
+    HLL, blocked edit-distance near-dup (Levenshtein inside prefix
+    blocks, never all-pairs), and item-item co-occurrence similarity
+    (the recommender / contrastive-pair mining shape).
+
+    All four stay pure-JVM codegen SQL on both engines. Every fraction
+    keeps integer numerators until one final exactly-rounded IEEE
+    division or sqrt, so Spark and DuckDB hashes agree bit-for-bit."""
+
+    # dialect tokens: integer division and md5 -> 60-bit unsigned int
+    _SDIV, _DDIV = "div", "//"
+    _SH = "cast(conv(substr(md5({s}), 1, 15), 16, 10) as bigint)"
+    _DH = "cast('0x' || substr(md5({s}), 1, 15) as bigint)"
+
+    # --- seq_packing: concat-and-cut sequence packing. Docs are
+    # concatenated in (shard, doc_id) order and cut every B=512 tokens;
+    # a doc starting at cumulative offset (cum - toks) lands in sequence
+    # (cum - toks) div B and crosses a boundary iff its last token's
+    # sequence differs. Sharding (doc_id % 8) makes the window cumsum
+    # partition-parallel — at 100 TB each shard is an independent
+    # partition-local running sum (one shuffle on shard), never a global
+    # sort; 8 here stands in for O(cluster) shards.
+    def pack_sql(div: str, split_toks: str) -> str:
+        return f"""
+        WITH d AS (SELECT doc_id, doc_id % 8 AS shard, {split_toks} AS toks
+                   FROM documents),
+        w AS (SELECT shard, doc_id, toks,
+                     sum(toks) OVER (PARTITION BY shard ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS cum
+              FROM d)
+        SELECT shard, cast((cum - toks) {div} 512 as bigint) AS seq_id,
+               count(*) AS docs_started,
+               min(doc_id) AS first_doc,
+               cast(sum(toks) as bigint) AS toks_started,
+               cast(sum(CASE WHEN (cum - 1) {div} 512
+                              > (cum - toks) {div} 512
+                        THEN 1 ELSE 0 END) as bigint) AS boundary_crossers
+        FROM w GROUP BY shard, cast((cum - toks) {div} 512 as bigint)
+        """
+
+    _S_TOKS = ("size(split(trim(regexp_replace(text, ' +', ' ')), ' '))")
+    _D_TOKS = ("len(string_split(trim(regexp_replace(text, ' +', ' ',"
+               " 'g')), ' '))")
+
+    def pack_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        load_views(spark, sf_dir)
+        return spark.sql(pack_sql(_SDIV, _S_TOKS))
+
+    REGISTRY["seq_packing"] = Query(
+        "seq_packing", pack_fn, pack_sql(_DDIV, _D_TOKS),
+        "LLM pretraining sequence packing (concat-and-cut, B=512 tokens): "
+        "per-shard window cumsum assigns each doc a start sequence and a "
+        "boundary-crossing flag; one shuffle on the shard key, no global "
+        "sort, no Python",
+    )
+
+    # --- sketch_countmin: from-scratch count-min sketch, d=4 rows x
+    # w=256 cols over document terms. Cells are a (row, col) hash agg
+    # (map-combinable — the 1024-cell sketch IS the shuffle payload at
+    # any scale); estimates for the 10 most frequent terms are
+    # min-over-rows via an equi-join back on (row, col). est >= true by
+    # construction; the output exposes both so the oracle checks the
+    # sketch's actual guarantee, not just row counts.
+    def cms_sql(h: str, terms: str, istr: str) -> str:
+        cell = h.format(s=f"cast(r.i as {istr}) || ':' || term") + " % 256"
+        return f"""
+        WITH t AS ({terms}),
+        r AS (SELECT n_nationkey AS i FROM nation WHERE n_nationkey < 4),
+        cm AS (SELECT r.i, {cell} AS col, count(*) AS cnt
+               FROM t CROSS JOIN r GROUP BY r.i, {cell}),
+        tc AS (SELECT term, count(*) AS c FROM t GROUP BY term),
+        probes AS (SELECT term, c FROM tc ORDER BY c DESC, term LIMIT 10),
+        pe AS (SELECT term, c, r.i, {cell} AS col
+               FROM probes CROSS JOIN r)
+        SELECT pe.term, cast(max(pe.c) as bigint) AS true_cnt,
+               cast(min(cm.cnt) as bigint) AS est_cnt,
+               cast(min(cm.cnt) - max(pe.c) as bigint) AS overcount
+        FROM pe JOIN cm ON cm.i = pe.i AND cm.col = pe.col
+        GROUP BY pe.term
+        """
+
+    _S_TERMS = ("SELECT explode(split(trim(regexp_replace(lower(text),"
+                " '[^a-z0-9 ]', ' ')), ' +')) AS term FROM documents")
+    _D_TERMS = ("SELECT unnest(string_split_regex(trim(regexp_replace("
+                "lower(text), '[^a-z0-9 ]', ' ', 'g')), ' +')) AS term"
+                " FROM documents")
+
+    def cms_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        load_views(spark, sf_dir)
+        return spark.sql(cms_sql(_SH, _S_TERMS, "string"))
+
+    REGISTRY["sketch_countmin"] = Query(
+        "sketch_countmin", cms_fn, cms_sql(_DH, _D_TERMS, "varchar"),
+        "from-scratch count-min sketch (d=4 x w=256, md5-derived row "
+        "hashes): cells as a map-combinable hash agg, probe estimates = "
+        "min over rows via equi-join; est >= true exposed and "
+        "hash-oracled — the HLL discipline applied to frequency sketches",
+    )
+
+    # --- dedup_edit_distance: blocked Levenshtein near-dup. Bodies are
+    # capped at 120 chars (bounds the O(L^2) DP per pair); planted
+    # variants (every 5th doc: last 2 chars dropped + ' zq' appended,
+    # edit distance <= 5) share the original's 16-char prefix, which is
+    # the blocking key — candidate pairs come from a prefix equi-join,
+    # NEVER all-pairs. At 100 TB the block key shuffles once and block
+    # sizes are bounded by prefix cardinality (salt or widen the prefix
+    # if a block grows hot).
+    def edit_sql(istr: str) -> str:
+        return f"""
+        WITH v AS (
+          SELECT doc_id AS id, substr(text, 1, 120) AS body FROM documents
+          UNION ALL
+          SELECT doc_id + 100000 AS id,
+                 substr(text, 1, 118) || ' zq' AS body
+          FROM documents WHERE doc_id % 5 = 0),
+        p AS (SELECT a.id AS id1, b.id AS id2,
+                     levenshtein(a.body, b.body) AS dist
+              FROM v a JOIN v b
+                ON substr(a.body, 1, 16) = substr(b.body, 1, 16)
+               AND a.id < b.id)
+        SELECT id1, id2, cast(dist as bigint) AS dist
+        FROM p WHERE dist <= 6
+        """
+
+    def edit_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        load_views(spark, sf_dir)
+        return spark.sql(edit_sql("string"))
+
+    REGISTRY["dedup_edit_distance"] = Query(
+        "dedup_edit_distance", edit_fn, edit_sql("varchar"),
+        "blocked edit-distance near-dup: 16-char-prefix equi-join blocks "
+        "+ Levenshtein <= 6 on 120-char-capped bodies over planted "
+        "variants; block-key shuffle, bounded DP cost, no all-pairs",
+    )
+
+    # --- cooccur_item_sim: item-item co-occurrence cosine over events
+    # (item = props.k div 10 -> 10 items). Baskets = DISTINCT
+    # (user, item); pair counts from a user-keyed self-join with
+    # item < item ordering; cosine keeps integer co/n1/n2 and does ONE
+    # exactly-rounded sqrt+divide at the end. At scale the self-join
+    # shuffles on user_id — heavy users are the skew risk, handled the
+    # standard way (cap items per user upstream; here 10 items bounds
+    # the per-user fan-out at 45 pairs by construction).
+    def co_sql(div: str, jget: str) -> str:
+        item = f"CAST({jget} AS BIGINT) {div} 10"
+        return f"""
+        WITH b AS (SELECT DISTINCT user_id, {item} AS item FROM events),
+        n AS (SELECT item, count(*) AS cnt FROM b GROUP BY item),
+        co AS (SELECT a.item AS i1, c.item AS i2, count(*) AS co
+               FROM b a JOIN b c
+                 ON a.user_id = c.user_id AND a.item < c.item
+               GROUP BY a.item, c.item)
+        SELECT co.i1, co.i2, cast(co.co as bigint) AS co_users,
+               cast(n1.cnt as bigint) AS n1, cast(n2.cnt as bigint) AS n2,
+               cast(co.co as double)
+                 / sqrt(cast(n1.cnt * n2.cnt as double)) AS cosine
+        FROM co JOIN n n1 ON n1.item = co.i1
+                JOIN n n2 ON n2.item = co.i2
+        """
+
+    def co_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        load_views(spark, sf_dir)
+        return spark.sql(co_sql(_SDIV, "get_json_object(props, '$.k')"))
+
+    REGISTRY["cooccur_item_sim"] = Query(
+        "cooccur_item_sim", co_fn,
+        co_sql(_DDIV, "json_extract(props, '$.k')"),
+        "item-item co-occurrence cosine (recommender / contrastive-pair "
+        "mining): distinct baskets, user-keyed self-join pair counts, "
+        "integer counts with one final sqrt+divide — hash aggs and "
+        "equi-joins only",
+    )
+
+
+_init_wave4_training()
+
+
 def _attach_golden_oracles() -> None:
     """Queries whose output is deterministic but not SQL-expressible (MVT
     byte lengths, rasterized pixel counts, the extraction invariant) get
