@@ -59,6 +59,7 @@ REGISTRY_QUERIES = [
     "events_sessionize", "text_quality", "lang_id",
     "ts_asof_join", "dedup_cc_clusters", "zone_overlap_area_poly",
     "text_tfidf_topk", "geo_radius_pairs_join",
+    "text_repetition_gopher", "dedup_chunks_global",
 ]
 
 

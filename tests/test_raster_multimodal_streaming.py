@@ -729,3 +729,43 @@ def test_streaming_restart_from_checkpoint_exactly_once(
         .select("event_id", "ts", "user_id", "event_type")
     st.run_to_parquet_once(proj3, out, ckpt)
     assert spark.read.parquet(out).count() == total
+
+
+def test_streaming_watermark_drops_late_rows(spark, tmp_path_factory):
+    """Late-data contract for the watermarked hourly rollup: a row that
+    arrives AFTER the checkpointed watermark has finalized its window
+    must be dropped (its window's count stays at the finalized value),
+    while in-horizon rows keep flowing. Hand-built one-row-per-hour
+    timeline so every watermark position is exact."""
+    from cloudtile_spark.streaming import events as st
+
+    src = str(tmp_path_factory.mktemp("late_src"))
+    out = str(tmp_path_factory.mktemp("late_out"))
+    ckpt = str(tmp_path_factory.mktemp("late_ckpt"))
+
+    def rows(hours):
+        return spark.createDataFrame(
+            [(int(h), f"2024-01-01 {h:02d}:30:00", 1, "a", 1.0, "{}")
+             for h in hours],
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    # pass 1: hours 0..10 -> watermark = 10:30 - 2h = 08:30; append mode
+    # finalizes windows ending <= 08:30, i.e. hours 0..7
+    rows(range(11)).coalesce(1).write.mode("append").parquet(src)
+    st.run_to_parquet_once(
+        st.hourly_counts(st.read_events_stream(spark, src)), out, ckpt)
+    got1 = {r["hour"].hour: r["n"] for r in spark.read.parquet(out).collect()}
+    assert got1 == {h: 1 for h in range(8)}
+
+    # pass 2: one LATE row at hour 3 (far behind the restored 08:30
+    # watermark -> dropped) + one fresh row at hour 12 (advances the
+    # watermark to 10:30, finalizing hours 8 and 9)
+    rows([3, 12]).coalesce(1).write.mode("append").parquet(src)
+    st.run_to_parquet_once(
+        st.hourly_counts(st.read_events_stream(spark, src)), out, ckpt)
+    got2 = {r["hour"].hour: r["n"] for r in spark.read.parquet(out).collect()}
+    # hour 3 still n=1 (the late duplicate was dropped, not re-emitted or
+    # double-counted); hours 8-9 newly finalized; 10 and 12 still open
+    assert got2 == {h: 1 for h in range(10)}
