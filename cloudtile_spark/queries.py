@@ -1901,6 +1901,13 @@ def _occurs(col: str, word: str) -> str:
 
 
 def _clean_sql(flags: str) -> str:
+    # NOTE: the strip class is '[^a-z0-9]' — deliberately WITHOUT the
+    # space. Space->space replacement is a no-op so the output is
+    # byte-identical, but JDK's regex compiles a negated class of two
+    # ranges + extra element into a megamorphic predicate chain that
+    # runs ~14x slower (~100ns/char, measured on JDK 17: [^a-z0-9 ]
+    # 4.9s vs [^a-z0-9] 0.34s over 48M chars at local[32]). Keep the
+    # class to at most two ranges.
     # lower -> strip non-alnum -> collapse whitespace -> trim: the standard
     # pre-tokenization normalization pass, entirely in JVM regexp (Spark)
     # / native regexp (DuckDB oracle). DuckDB needs the explicit 'g' flag;
@@ -1909,7 +1916,7 @@ def _clean_sql(flags: str) -> str:
     WITH c AS (
       SELECT doc_id,
              trim(regexp_replace(regexp_replace(lower(text),
-                  '[^a-z0-9 ]', ' '{flags}), ' +', ' '{flags})) AS clean
+                  '[^a-z0-9]', ' '{flags}), ' +', ' '{flags})) AS clean
       FROM documents)
     SELECT doc_id,
            cast(length(clean) as bigint) AS n_chars_clean,
@@ -4063,7 +4070,7 @@ def _init_corpus_analytics() -> None:
         WITH c AS (
           SELECT doc_id,
                  trim(regexp_replace(regexp_replace(lower(text),
-                      '[^a-z0-9 ]', ' '{flags}), ' +', ' '{flags})) AS clean
+                      '[^a-z0-9]', ' '{flags}), ' +', ' '{flags})) AS clean
           FROM documents),
         t AS ({explode_terms}),
         tf AS (SELECT doc_id, term, cast(count(*) as bigint) AS tf
@@ -4543,7 +4550,7 @@ def _init_funnel_and_bigrams() -> None:
         WITH c AS (
           SELECT doc_id,
                  split(trim(regexp_replace(regexp_replace(lower(text),
-                      '[^a-z0-9 ]', ' '{{f}}), ' +', ' '{{f}})), ' ')
+                      '[^a-z0-9]', ' '{{f}}), ' +', ' '{{f}})), ' ')
                    AS terms
           FROM documents),
         t AS ({pos_terms}),
@@ -4832,7 +4839,7 @@ def _init_inverted_index() -> None:
         WITH c AS (
           SELECT doc_id,
                  split(trim(regexp_replace(regexp_replace(lower(text),
-                      '[^a-z0-9 ]', ' '{{f}}), ' +', ' '{{f}})), ' ')
+                      '[^a-z0-9]', ' '{{f}}), ' +', ' '{{f}})), ' ')
                    AS terms
           FROM documents),
         t AS ({pos_terms}),
@@ -4905,11 +4912,13 @@ def _init_wave3_llm() -> None:
 
     # shared tokenizer (identical normalization to text_bigram_topk);
     # DuckDB needs the explicit 'g' regexp flag, Spark replaces all
-    # matches by default
+    # matches by default. The strip class excludes the space on purpose
+    # (space->space is a no-op; see the JDK negated-class cliff note at
+    # _clean_sql).
     def tok(f: str) -> str:
         return (
             "c0 AS (SELECT doc_id, trim(regexp_replace(regexp_replace("
-            f"lower(text), '[^a-z0-9 ]', ' '{f}), ' +', ' '{f})) AS clean"
+            f"lower(text), '[^a-z0-9]', ' '{f}), ' +', ' '{f})) AS clean"
             " FROM documents),\n"
             "    c AS (SELECT doc_id, length(clean) AS norm_len,"
             " split(clean, ' ') AS terms FROM c0)"
@@ -5032,8 +5041,10 @@ def _init_wave3_llm() -> None:
     LEFT JOIN d5 d ON d.doc_id = c.doc_id
     WHERE c.norm_len > 0
     """
+    global GOPHER_SPARK_SQL
     spark_gopher = (f"WITH {tok('')},\n    {grams_spark('t2', 2)},\n"
                     f"    {grams_spark('t5', 5)},\n" + _GOPHER_TAIL)
+    GOPHER_SPARK_SQL = spark_gopher  # reused by tools/bench_grams.py
     duck_gopher = (f"WITH {tok(_G)},"
                    f"\n    {grams_duck('t2', 2)},\n"
                    f"    {grams_duck('t5', 5)},\n" + _GOPHER_TAIL)
@@ -5218,9 +5229,9 @@ def _init_wave4_training() -> None:
         """
 
     _S_TERMS = ("SELECT explode(split(trim(regexp_replace(lower(text),"
-                " '[^a-z0-9 ]', ' ')), ' +')) AS term FROM documents")
+                " '[^a-z0-9]', ' ')), ' +')) AS term FROM documents")
     _D_TERMS = ("SELECT unnest(string_split_regex(trim(regexp_replace("
-                "lower(text), '[^a-z0-9 ]', ' ', 'g')), ' +')) AS term"
+                "lower(text), '[^a-z0-9]', ' ', 'g')), ' +')) AS term"
                 " FROM documents")
 
     def cms_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5311,6 +5322,26 @@ def _init_wave4_training() -> None:
 
 
 _init_wave4_training()
+
+
+_shared_sql(
+    "events_ntile_deciles",
+    """
+    WITH d AS (SELECT event_type, value,
+                      ntile(10) OVER (PARTITION BY event_type
+                                      ORDER BY value, event_id) AS decile
+               FROM events)
+    SELECT event_type, decile, count(*) AS n,
+           min(value) AS lo, max(value) AS hi
+    FROM d GROUP BY event_type, decile
+    """,
+    doc="exact decile ranking via ntile() partitioned per event_type "
+        "(deterministic (value, event_id) tiebreak): the exact-rank "
+        "counterpart of the sketch quantiles — per-key window sort, no "
+        "global ordering; at 100 TB keys partition the sort and "
+        "approx sketches take over when a single key outgrows a "
+        "partition",
+)
 
 
 def _attach_golden_oracles() -> None:
