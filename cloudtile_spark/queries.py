@@ -5324,6 +5324,70 @@ def _init_wave4_training() -> None:
 _init_wave4_training()
 
 
+def _init_bloom() -> None:
+    """From-scratch Bloom filter (m=4096 bits, k=3 md5-derived hashes),
+    completing the sketch trio beside the r4 HLL and the r5 count-min.
+    Membership set = custkeys recently active (an order since
+    2001-06-01 — ~23% of customers at sf0.01, so both the false-positive
+    surface and the non-member majority are real); probes = ALL
+    customers (the tpch_q22 population). The filter is the DISTINCT set of set
+    bits — at most 4096 rows, i.e. broadcastable at ANY corpus scale
+    (on a cluster you'd OR per-partition bitmaps; the row-set form has
+    identical semantics with one equi-join). The output exposes the
+    guarantee: false negatives are structurally zero (hash-checked),
+    false positives are counted per nation."""
+    _SH = "cast(conv(substr(md5({s}), 1, 15), 16, 10) as bigint)"
+    _DH = "cast('0x' || substr(md5({s}), 1, 15) as bigint)"
+
+    def bloom_sql(h: str, istr: str) -> str:
+        def bit(key: str) -> str:
+            return h.format(
+                s=f"cast(r.i as {istr}) || ':' || cast({key} as {istr})"
+            ) + " % 4096"
+        return f"""
+        WITH s AS (SELECT DISTINCT o_custkey AS k FROM orders
+                   WHERE o_orderdate >= date '2001-06-01'),
+        r AS (SELECT n_nationkey AS i FROM nation WHERE n_nationkey < 3),
+        bits AS (SELECT DISTINCT {bit('s.k')} AS b FROM s CROSS JOIN r),
+        pb AS (SELECT c.c_custkey, c.c_nationkey, {bit('c.c_custkey')} AS b
+               FROM customer c CROSS JOIN r),
+        hit AS (SELECT pb.c_custkey, pb.c_nationkey,
+                       sum(CASE WHEN bits.b IS NULL THEN 1 ELSE 0 END)
+                         AS misses
+                FROM pb LEFT JOIN bits ON bits.b = pb.b
+                GROUP BY pb.c_custkey, pb.c_nationkey),
+        truth AS (SELECT DISTINCT o_custkey AS k FROM orders
+                  WHERE o_orderdate >= date '2001-06-01')
+        SELECT h.c_nationkey,
+               count(*) AS n_customers,
+               cast(sum(CASE WHEN t.k IS NOT NULL THEN 1 ELSE 0 END)
+                    as bigint) AS n_members,
+               cast(sum(CASE WHEN h.misses = 0 THEN 1 ELSE 0 END)
+                    as bigint) AS n_bloom_pass,
+               cast(sum(CASE WHEN h.misses = 0 AND t.k IS NULL
+                             THEN 1 ELSE 0 END) as bigint) AS n_false_pos,
+               cast(sum(CASE WHEN h.misses > 0 AND t.k IS NOT NULL
+                             THEN 1 ELSE 0 END) as bigint) AS n_false_neg
+        FROM hit h LEFT JOIN truth t ON t.k = h.c_custkey
+        GROUP BY h.c_nationkey
+        """
+
+    def bloom_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        load_views(spark, sf_dir)
+        return spark.sql(bloom_sql(_SH, "string"))
+
+    REGISTRY["sketch_bloom_filter"] = Query(
+        "sketch_bloom_filter", bloom_fn, bloom_sql(_DH, "varchar"),
+        "from-scratch Bloom filter (m=4096, k=3, md5-derived bits): "
+        "set-bit rows built by hash aggs, membership probe via one "
+        "equi-join; zero false negatives and per-nation false-positive "
+        "counts exposed and hash-oracled",
+    )
+
+
+_init_bloom()
+
+
 _shared_sql(
     "events_ntile_deciles",
     """
