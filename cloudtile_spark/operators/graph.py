@@ -156,3 +156,34 @@ def pagerank_quantized(edges: DataFrame, nodes: DataFrame,
             .localCheckpoint(eager=True)
         )
     return ranks.select("node", F.col("r").alias("rank_q"))
+
+
+def kcore_residual(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+    """Fixed-round k-core peeling: each round drops every node whose
+    degree in the CURRENT residual graph is < k, then induces the
+    subgraph on the survivors. With a fixed `rounds` the trajectory is
+    deterministic for any partitioning (same fixed-iteration discipline
+    as pagerank_quantized, so the DuckDB oracle is a straight-line CTE
+    unrolling); pick rounds so the peel has converged at the data scale
+    (the oracle prototype converged in 6 on the gate graph — and a
+    converged residual IS the k-core).
+
+    Scale shape per round: one hash agg on u (degree), two semi-joins of
+    the residual edges against the survivor set — all shuffles on the
+    node key, no broadcast of data-derived frames, lineage truncated per
+    round (localCheckpoint, the O(log) lesson from connected_components).
+
+    `edges` must hold BOTH directions of each undirected edge,
+    deduplicated, no self-loops: columns (u, v). Returns (node, deg) =
+    survivors of the last round with their residual degree.
+    """
+    e = edges.select("u", "v")
+    for _ in range(rounds):
+        alive = (e.groupBy("u").agg(F.count("*").alias("deg"))
+                  .filter(F.col("deg") >= k).select("u"))
+        e = (e.join(alive, "u", "left_semi")
+              .join(alive.withColumnRenamed("u", "v"), "v", "left_semi")
+              .select("u", "v")
+              .localCheckpoint(eager=True))
+    return (e.groupBy("u").agg(F.count("*").alias("deg"))
+             .select(F.col("u").alias("node"), "deg"))

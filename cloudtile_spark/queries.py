@@ -5388,6 +5388,71 @@ def _init_bloom() -> None:
 _init_bloom()
 
 
+def _init_kcore() -> None:
+    """k-core decomposition completes the graph quartet beside connected
+    components, PageRank, and triangle counting. Fixed 6-round peel on a
+    degree-skewed deterministic graph (out-degree 1-4 by doc_id % 4;
+    converged at gate scale, verified survivors-at-6 == survivors-at-7
+    in the oracle prototype — and a converged residual IS the 4-core:
+    373/500 nodes survive, so both branches are exercised).
+
+    The oracle CTEs are AS MATERIALIZED: each round references the
+    previous residual twice (degree agg + induce join), and DuckDB's
+    default CTE inlining would re-expand the chain exponentially."""
+
+    def edge_legs(tick: str = "") -> str:
+        return " UNION ALL ".join(
+            f"SELECT doc_id AS u, (doc_id*{17 + j * 2}+{3 + j * j})"
+            f" % (SELECT cnt FROM n) AS v FROM docs"
+            f" WHERE doc_id % 4 >= {j}"
+            for j in range(4))
+
+    _EDGE_BASE = """n AS (SELECT count(*) AS cnt FROM documents),
+    docs AS (SELECT doc_id FROM documents),
+    eu AS ({legs}),
+    e0 AS{mat} (SELECT DISTINCT u, v FROM
+        (SELECT u, v FROM eu WHERE u <> v
+         UNION ALL SELECT v, u FROM eu WHERE u <> v))"""
+
+    K, R = 4, 6
+
+    def kcore_oracle() -> str:
+        parts = [_EDGE_BASE.format(legs=edge_legs(), mat=" MATERIALIZED")]
+        for t in range(1, R + 1):
+            parts.append(
+                f"d{t} AS MATERIALIZED (SELECT u AS node, count(*) AS deg"
+                f" FROM e{t - 1} GROUP BY u),\n"
+                f"    a{t} AS MATERIALIZED (SELECT node FROM d{t}"
+                f" WHERE deg >= {K}),\n"
+                f"    e{t} AS MATERIALIZED (SELECT e.u, e.v FROM e{t - 1} e"
+                f" JOIN a{t} x ON x.node = e.u"
+                f" JOIN a{t} y ON y.node = e.v)")
+        return ("WITH " + ",\n    ".join(parts)
+                + f"\nSELECT u AS node, cast(count(*) as bigint) AS deg"
+                  f" FROM e{R} GROUP BY u")
+
+    def kcore_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .operators.graph import kcore_residual
+
+        load_views(spark, sf_dir)
+        edges = spark.sql(
+            "WITH " + _EDGE_BASE.format(legs=edge_legs(), mat="")
+            + " SELECT u, v FROM e0")
+        return kcore_residual(edges, k=K, rounds=R) \
+            .select("node", F.col("deg").cast("long").alias("deg"))
+
+    REGISTRY["graph_kcore"] = Query(
+        "graph_kcore", kcore_fn, kcore_oracle(),
+        "k-core decomposition (k=4, fixed 6-round peel, converged at "
+        "gate scale): per round one degree hash agg + two semi-joins on "
+        "the node key, localCheckpoint-truncated lineage; oracle = "
+        "straight-line MATERIALIZED-CTE unrolling of the identical peel",
+    )
+
+
+_init_kcore()
+
+
 _shared_sql(
     "events_ntile_deciles",
     """
