@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def _checksum(e: DataFrame) -> tuple:
@@ -187,3 +188,33 @@ def kcore_residual(edges: DataFrame, k: int, rounds: int) -> DataFrame:
               .localCheckpoint(eager=True))
     return (e.groupBy("u").agg(F.count("*").alias("deg"))
              .select(F.col("u").alias("node"), "deg"))
+
+
+def label_propagation_sync(edges: DataFrame, nodes: DataFrame,
+                           rounds: int) -> DataFrame:
+    """SYNCHRONOUS label propagation (community detection): every node
+    starts as its own label; each round ALL nodes simultaneously adopt
+    the mode of their neighbors' labels, ties broken by smallest label.
+    Synchronous updates + deterministic tiebreak make the trajectory
+    identical for any partitioning (async LPA — the textbook default —
+    is order-dependent and would not oracle), so the DuckDB oracle is a
+    straight-line MATERIALIZED-CTE unrolling of the same recurrence.
+
+    Scale shape per round: one edges-labels equi-join on the node key,
+    one (node, label) hash agg, one per-node argmax window (partitioned
+    by node — never a global sort), lineage truncated per round.
+
+    `edges` must hold both directions, deduplicated, no self-loops:
+    (u, v). `nodes` needs (node). Returns (node, lbl).
+    """
+    labels = nodes.select("node", F.col("node").alias("lbl"))
+    w = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("lbl"))
+    for _ in range(rounds):
+        neigh = (edges.join(labels, edges["v"] == labels["node"])
+                      .select(edges["u"].alias("node"), "lbl"))
+        counts = neigh.groupBy("node", "lbl").agg(F.count("*").alias("cnt"))
+        labels = (counts.withColumn("rn", F.row_number().over(w))
+                        .filter(F.col("rn") == 1)
+                        .select("node", "lbl")
+                        .localCheckpoint(eager=True))
+    return labels

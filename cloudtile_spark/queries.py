@@ -5449,6 +5449,52 @@ def _init_kcore() -> None:
         "straight-line MATERIALIZED-CTE unrolling of the identical peel",
     )
 
+    # --- graph_label_prop: SYNCHRONOUS label propagation on the same
+    # degree-skewed graph (88 communities, largest 45, after 3 rounds at
+    # gate scale). Synchronous + min-label tiebreak is what makes LPA
+    # oracle-able — textbook async LPA is visit-order-dependent.
+    LR = 3
+
+    def lpa_oracle() -> str:
+        parts = [_EDGE_BASE.format(legs=edge_legs(), mat=" MATERIALIZED"),
+                 "l0 AS MATERIALIZED (SELECT doc_id AS node,"
+                 " doc_id AS lbl FROM docs)"]
+        for t in range(1, LR + 1):
+            parts.append(
+                f"c{t} AS MATERIALIZED (SELECT e.u AS node, l.lbl,"
+                f" count(*) AS cnt FROM e0 e JOIN l{t - 1} l"
+                f" ON l.node = e.v GROUP BY e.u, l.lbl),\n"
+                f"    r{t} AS MATERIALIZED (SELECT node, lbl,"
+                f" row_number() OVER (PARTITION BY node"
+                f" ORDER BY cnt DESC, lbl ASC) AS rn FROM c{t}),\n"
+                f"    l{t} AS MATERIALIZED (SELECT node, lbl FROM r{t}"
+                f" WHERE rn = 1)")
+        return ("WITH " + ",\n    ".join(parts)
+                + f"\nSELECT lbl AS community, count(*) AS sz,"
+                  f" min(node) AS rep FROM l{LR} GROUP BY lbl")
+
+    def lpa_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .operators.graph import label_propagation_sync
+
+        load_views(spark, sf_dir)
+        edges = spark.sql(
+            "WITH " + _EDGE_BASE.format(legs=edge_legs(), mat="")
+            + " SELECT u, v FROM e0")
+        nodes = spark.sql("SELECT doc_id AS node FROM documents")
+        return (label_propagation_sync(edges, nodes, rounds=LR)
+                .groupBy(F.col("lbl").alias("community"))
+                .agg(F.count("*").alias("sz"),
+                     F.min("node").alias("rep")))
+
+    REGISTRY["graph_label_prop"] = Query(
+        "graph_label_prop", lpa_fn, lpa_oracle(),
+        "synchronous label-propagation community detection (3 rounds, "
+        "mode-of-neighbors with min-label tiebreak): per round one "
+        "node-keyed equi-join + hash agg + per-node argmax window; "
+        "deterministic for any partitioning, oracle = unrolled "
+        "MATERIALIZED CTEs of the identical recurrence",
+    )
+
 
 _init_kcore()
 
