@@ -5499,6 +5499,53 @@ def _init_kcore() -> None:
 _init_kcore()
 
 
+def _init_corpus_split() -> None:
+    """Deterministic 80/10/10 train/val/test split, stratified per
+    language: the split key is an md5-derived hash of doc_id — stable
+    under re-runs, re-partitioning, and corpus growth (a doc never
+    changes split when other docs are added, unlike row_number-based
+    splits). Membership is proven to the oracle by an order-free sum of
+    the per-doc hash, not just counts."""
+    _SH = "cast(conv(substr(md5({s}), 1, 15), 16, 10) as bigint)"
+    _DH = "cast('0x' || substr(md5({s}), 1, 15) as bigint)"
+
+    def split_sql(h: str, istr: str, toks: str) -> str:
+        hd = h.format(s=f"'split-' || cast(doc_id as {istr})")
+        return f"""
+        WITH d AS (SELECT doc_id, lang, {toks} AS toks, {hd} AS hv
+                   FROM documents),
+        s AS (SELECT lang, doc_id, toks, hv,
+                     CASE WHEN hv % 100 < 80 THEN 'train'
+                          WHEN hv % 100 < 90 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM d)
+        SELECT lang, split, count(*) AS n_docs,
+               cast(sum(toks) as bigint) AS n_tokens,
+               cast(sum(hv % 1000000007) as bigint) AS member_sum
+        FROM s GROUP BY lang, split
+        """
+
+    _S_TOKS = "size(split(trim(regexp_replace(text, ' +', ' ')), ' '))"
+    _D_TOKS = ("len(string_split(trim(regexp_replace(text, ' +', ' ',"
+               " 'g')), ' '))")
+
+    def split_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        load_views(spark, sf_dir)
+        return spark.sql(split_sql(_SH, "string", _S_TOKS))
+
+    REGISTRY["corpus_split_train_val"] = Query(
+        "corpus_split_train_val", split_fn,
+        split_sql(_DH, "varchar", _D_TOKS),
+        "deterministic stratified 80/10/10 train/val/test split via "
+        "md5-hash buckets (growth-stable: membership never moves when "
+        "the corpus grows); per-stratum doc/token counts plus an "
+        "order-free membership hash sum, all codegen",
+    )
+
+
+_init_corpus_split()
+
+
 _shared_sql(
     "events_ntile_deciles",
     """
