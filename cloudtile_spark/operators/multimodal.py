@@ -493,3 +493,127 @@ def sample_video_frames(media: DataFrame, every_ms: int = 10_000) -> DataFrame:
                        F.lit(every_ms))
         ).alias("frame_ms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL compressed-image decode path: pure-stdlib PNG (the WAV/BMP/AVI
+# precedent applied to a COMPRESSED format — stdlib zlib is the codec, so
+# nothing is stubbed). Writer (make_png) and parser (decode_png) are
+# independent code paths: chunk assembly + per-row filter ENCODE vs a
+# CRC-validating chunk walker + inflate + per-row DEFILTER. The writer
+# deliberately mixes scanline filters (None row 0, Sub on even rows, Up
+# on odd rows) so a parser that skips defiltering cannot hash-match.
+# Pixels are an integer function of (media_id, x, y) — distinct from the
+# BMP family — so the SQL oracle replays every decoded statistic.
+# ---------------------------------------------------------------------------
+
+
+def png_dims(media_id: int) -> tuple[int, int]:
+    return 12 + media_id % 19, 6 + media_id % 11  # (width, height)
+
+
+def png_pixels(media_id: int) -> np.ndarray:
+    """Deterministic RGB image, shape (h, w, 3) uint8, top-left origin:
+    r=(5id+2x+3y)%256, g=(id+7x+11y)%256, b=(3id+x+13y)%256."""
+    w, h = png_dims(media_id)
+    x = np.arange(w, dtype=np.int64)[None, :]
+    y = np.arange(h, dtype=np.int64)[:, None]
+    r = (5 * media_id + 2 * x + 3 * y) % 256
+    g = (media_id + 7 * x + 11 * y) % 256
+    b = (3 * media_id + x + 13 * y) % 256
+    return np.stack(np.broadcast_arrays(r, g, b), axis=2).astype(np.uint8)
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import zlib
+    return (struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+
+def make_png(media_id: int) -> bytes:
+    """Minimal canonical PNG writer: 8-bit RGB (color type 2), one IDAT,
+    scanline filters None/Sub/Up (row 0 / even / odd) encoded for real."""
+    import zlib
+    px = png_pixels(media_id).astype(np.int16)
+    h, w, _ = px.shape
+    raw = bytearray()
+    prior = np.zeros((w, 3), dtype=np.int16)
+    for y in range(h):
+        row = px[y]
+        if y == 0:
+            raw.append(0)                       # None
+            raw += row.astype(np.uint8).tobytes()
+        elif y % 2 == 0:
+            raw.append(1)                       # Sub: delta vs left pixel
+            left = np.vstack([np.zeros((1, 3), np.int16), row[:-1]])
+            raw += ((row - left) % 256).astype(np.uint8).tobytes()
+        else:
+            raw.append(2)                       # Up: delta vs prior row
+            raw += ((row - prior) % 256).astype(np.uint8).tobytes()
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """REAL pure-stdlib PNG parser: CRC-validating chunk walker, zlib
+    inflate, per-scanline defilter (None/Sub/Up). Returns (h, w, 3)
+    uint8 RGB. Raises ValueError on malformed or unsupported input."""
+    import zlib
+    if len(payload) < 8 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, w = 8, None
+    idat = bytearray()
+    seen_iend = False
+    while pos + 12 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos:pos + 4])
+        typ = payload[pos + 4:pos + 8]
+        if pos + 12 + ln > len(payload):
+            raise ValueError(f"truncated PNG chunk {typ!r}")
+        data = payload[pos + 8:pos + 8 + ln]
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + ln:pos + 12 + ln])
+        if crc != (zlib.crc32(typ + data) & 0xFFFFFFFF):
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        if typ == b"IHDR":
+            w, h, depth, ctype, comp, filt, ilace = struct.unpack(
+                ">IIBBBBB", data)
+            if (depth, ctype, comp, filt, ilace) != (8, 2, 0, 0, 0):
+                raise ValueError(
+                    f"unsupported PNG: depth={depth} color={ctype} "
+                    f"interlace={ilace}")
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            seen_iend = True
+            break
+        pos += 12 + ln
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if not seen_iend:
+        raise ValueError("truncated PNG: no IEND chunk")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * 3
+    if len(raw) != h * (stride + 1):
+        raise ValueError(
+            f"PNG scanline payload {len(raw)} != expected {h * (stride + 1)}")
+    out = np.zeros((h, w, 3), dtype=np.int16)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        row = np.frombuffer(
+            raw, np.uint8, stride, y * (stride + 1) + 1
+        ).astype(np.int16).reshape(w, 3)
+        if ftype == 0:
+            rec = row
+        elif ftype == 1:
+            rec = row.copy()
+            for x in range(1, w):
+                rec[x] = (rec[x] + rec[x - 1]) % 256
+        elif ftype == 2:
+            rec = (row + out[y - 1]) % 256 if y > 0 else row
+        else:
+            raise ValueError(f"unsupported PNG filter {ftype}")
+        out[y] = rec % 256
+    return out.astype(np.uint8)

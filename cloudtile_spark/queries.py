@@ -3724,6 +3724,83 @@ def _init_media_bmp_stats() -> None:
 _init_media_bmp_stats()
 
 
+def _init_media_png_stats() -> None:
+    """REAL COMPRESSED image decode (the WAV/BMP/AVI precedent extended
+    to a codec'd format — stdlib zlib IS the codec, nothing stubbed):
+    executor-side make_png encodes with mixed scanline filters
+    (None/Sub/Up), decode_png walks chunks with CRC checks, inflates,
+    and DEFILTERS; the oracle recomputes every statistic from the
+    integer pixel definition, so a defilter bug, a CRC shortcut, or a
+    row-order mistake cannot hash-match."""
+    X = "(i % w)"
+    Y = "cast((i - (i % w)) / w as bigint)"
+    R = f"((5 * media_id + 2 * {X} + 3 * {Y}) % 256)"
+    G = f"((media_id + 7 * {X} + 11 * {Y}) % 256)"
+    B = f"((3 * media_id + {X} + 13 * {Y}) % 256)"
+    MOM = f"((3 * {X} + 7 * {Y}) * ({R} + {G} + {B}))"
+
+    def dsum(expr: str) -> str:
+        return (f"cast(list_sum(list_transform(range(0, w * h), "
+                f"i -> {expr})) as bigint)")
+
+    oracle = f"""
+    WITH a AS (SELECT doc_id AS media_id,
+                      12 + doc_id % 19 AS w, 6 + doc_id % 11 AS h
+               FROM documents WHERE doc_id % 3 = 1)
+    SELECT media_id,
+           cast(w as bigint) AS width, cast(h as bigint) AS height,
+           {dsum(R)} AS sum_r, {dsum(G)} AS sum_g, {dsum(B)} AS sum_b,
+           {dsum(MOM)} AS moment
+    FROM a
+    """
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import numpy as np
+        import pandas as pd
+
+        from .operators.multimodal import decode_png, make_png
+
+        load_views(spark, sf_dir)
+        images = spark.sql(
+            "SELECT doc_id AS media_id FROM documents WHERE doc_id % 3 = 1")
+
+        def kernel(batches):
+            for pdf in batches:
+                rows = []
+                for mid in pdf.media_id:
+                    mid = int(mid)
+                    px = decode_png(make_png(mid)).astype(np.int64)
+                    h, w, _ = px.shape
+                    x = np.arange(w, dtype=np.int64)[None, :]
+                    y = np.arange(h, dtype=np.int64)[:, None]
+                    mom = int(((3 * x + 7 * y) * px.sum(axis=2)).sum())
+                    rows.append((
+                        mid, w, h,
+                        int(px[:, :, 0].sum()), int(px[:, :, 1].sum()),
+                        int(px[:, :, 2].sum()), mom,
+                    ))
+                yield pd.DataFrame(rows, columns=[
+                    "media_id", "width", "height",
+                    "sum_r", "sum_g", "sum_b", "moment"])
+
+        return images.mapInPandas(
+            kernel,
+            schema="media_id long, width long, height long, "
+                   "sum_r long, sum_g long, sum_b long, moment long")
+
+    REGISTRY["media_png_stats"] = Query(
+        "media_png_stats", fn, oracle,
+        "REAL compressed-image decode: pure-stdlib PNG writer (mixed "
+        "None/Sub/Up scanline filters) + independent CRC-validating "
+        "chunk-walking inflate+defilter parser on the executors; channel "
+        "sums and a position-weighted moment hash-matched against an "
+        "arithmetic oracle over the integer pixel definition",
+    )
+
+
+_init_media_png_stats()
+
+
 def _init_media_bmp_resize() -> None:
     """REAL image RESIZE over the real decode path: decode the BMP payload,
     nearest-neighbor-resize to a fixed 8x4 thumbnail (floor mapping

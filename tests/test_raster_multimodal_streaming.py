@@ -769,3 +769,39 @@ def test_streaming_watermark_drops_late_rows(spark, tmp_path_factory):
     # hour 3 still n=1 (the late duplicate was dropped, not re-emitted or
     # double-counted); hours 8-9 newly finalized; 10 and 12 still open
     assert got2 == {h: 1 for h in range(10)}
+
+
+def test_png_decode_roundtrip_and_malformed():
+    """decode_png is a REAL parser: CRC-checking chunk walk + inflate +
+    per-scanline defilter (writer mixes None/Sub/Up). Roundtrip must be
+    pixel-exact against the arithmetic definition; malformed payloads
+    (bit flip -> CRC, truncated IDAT, missing IEND, wrong color type)
+    must raise ValueError, never return garbage pixels."""
+    import struct
+
+    import pytest as _pytest
+
+    from cloudtile_spark.operators import multimodal as mm
+
+    for mid in (0, 1, 7, 42, 123, 499):
+        assert np.array_equal(
+            mm.decode_png(mm.make_png(mid)), mm.png_pixels(mid))
+
+    good = mm.make_png(5)
+    flipped = bytearray(good)
+    flipped[30] ^= 0xFF  # inside IHDR data -> CRC mismatch
+    for bad, why in [
+        (good[:40], "truncated IDAT"),
+        (good[:-8], "missing IEND"),
+        (bytes(flipped), "CRC mismatch"),
+        (b"\x89PNG\r\n\x1a\n" + b"x" * 16, "junk chunks"),
+    ]:
+        with _pytest.raises(ValueError):
+            mm.decode_png(bad)
+    # unsupported color type (grayscale IHDR) must be rejected, not
+    # misparsed: rebuild the IHDR chunk with ctype=0 and a VALID crc
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    gray = (b"\x89PNG\r\n\x1a\n" + mm._png_chunk(b"IHDR", ihdr)
+            + mm._png_chunk(b"IEND", b""))
+    with _pytest.raises(ValueError):
+        mm.decode_png(gray)
