@@ -48,6 +48,14 @@ def read_features_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_features_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC features (columnar sibling of parquet — same pushdown and
+    column-pruning contract through the DataSource V1 ORC reader; kept
+    in the suffix dispatch so a lakehouse standardized on ORC needs no
+    conversion step)."""
+    return spark.read.orc(path)
+
+
 def read_csv_points(
     spark: SparkSession, path: str,
     empty_columns_are_null: bool = True,
@@ -142,6 +150,7 @@ READERS = {
     "geojson": read_geojson_points,
     "json": read_geojson_points,
     "parquet": read_features_parquet,
+    "orc": read_features_orc,
     "gpkg": read_gpkg_points,
     "csv": read_csv_points,
 }
