@@ -5623,6 +5623,73 @@ def _init_corpus_split() -> None:
 _init_corpus_split()
 
 
+def _init_sample_quantiles() -> None:
+    """Sample-based quantile estimation, the third leg of the sketch
+    family's quantile story (exact ntile ranks <-> this): a k=128
+    deterministic uniform sample per group (md5-hash priority — the
+    distributed-reservoir shape of reservoir_sample, per key) estimates
+    p50/p90, emitted NEXT TO the exact p50/p90 over the full group so
+    the oracle checks the estimator's actual behavior. All rank math is
+    discrete row_number selection with a (value, event_id) tiebreak —
+    no interpolation, no float rank arithmetic, hash-exact across
+    engines."""
+    _SH = "cast(conv(substr(md5({s}), 1, 15), 16, 10) as bigint)"
+    _DH = "cast('0x' || substr(md5({s}), 1, 15) as bigint)"
+
+    def sq_sql(h: str, istr: str, div: str) -> str:
+        hv = h.format(s=f"'sq-' || cast(event_id as {istr})")
+        return f"""
+        WITH d AS (SELECT event_type, event_id, value, {hv} AS hv
+                   FROM events),
+        s AS (SELECT event_type, event_id, value,
+                     row_number() OVER (PARTITION BY event_type
+                         ORDER BY hv, event_id) AS srn
+              FROM d),
+        samp AS (SELECT event_type, value,
+                        row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS vrn,
+                        count(*) OVER (PARTITION BY event_type) AS ns
+                 FROM s WHERE srn <= 128),
+        ex AS (SELECT event_type, value,
+                      row_number() OVER (PARTITION BY event_type
+                          ORDER BY value, event_id) AS vrn,
+                      count(*) OVER (PARTITION BY event_type) AS ne
+               FROM d),
+        sq AS (SELECT event_type, max(ns) AS n_sample,
+                      max(CASE WHEN vrn = (ns + 1) {div} 2
+                               THEN value END) AS sample_p50,
+                      max(CASE WHEN vrn = greatest(1, (ns * 9) {div} 10)
+                               THEN value END) AS sample_p90
+               FROM samp GROUP BY event_type),
+        eq AS (SELECT event_type, max(ne) AS n_total,
+                      max(CASE WHEN vrn = (ne + 1) {div} 2
+                               THEN value END) AS exact_p50,
+                      max(CASE WHEN vrn = greatest(1, (ne * 9) {div} 10)
+                               THEN value END) AS exact_p90
+               FROM ex GROUP BY event_type)
+        SELECT eq.event_type, cast(eq.n_total as bigint) AS n_total,
+               cast(sq.n_sample as bigint) AS n_sample,
+               sq.sample_p50, eq.exact_p50, sq.sample_p90, eq.exact_p90
+        FROM eq JOIN sq ON sq.event_type = eq.event_type
+        """
+
+    def sq_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        load_views(spark, sf_dir)
+        return spark.sql(sq_sql(_SH, "string", "div"))
+
+    REGISTRY["sketch_sample_quantiles"] = Query(
+        "sketch_sample_quantiles", sq_fn, sq_sql(_DH, "varchar", "//"),
+        "quantile estimation from a k=128 per-key hash-priority uniform "
+        "sample, estimate and exact p50/p90 emitted side by side: "
+        "discrete row_number rank selection with deterministic "
+        "tiebreaks — per-key window sorts, the sample itself is "
+        "partition-mergeable at any scale",
+    )
+
+
+_init_sample_quantiles()
+
+
 _shared_sql(
     "events_ntile_deciles",
     """
