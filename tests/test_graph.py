@@ -117,3 +117,73 @@ def test_pagerank_quantized_bit_reproducible(spark):
     # the structured quadratic graph yields ~18 in-degree classes at 300
     # nodes after 3 iterations)
     assert len(set(r1.values())) >= 10
+
+
+def _undirect(edges):
+    """Both directions, dedup, no self-loops (the kcore/LPA contract)."""
+    s = {(u, v) for u, v in edges if u != v}
+    return sorted(s | {(v, u) for u, v in s})
+
+
+def _py_kcore(edges, k, rounds):
+    """Reference fixed-round peel over an adjacency dict."""
+    e = set(edges)
+    for _ in range(rounds):
+        deg = {}
+        for u, _v in e:
+            deg[u] = deg.get(u, 0) + 1
+        alive = {u for u, d in deg.items() if d >= k}
+        e = {(u, v) for u, v in e if u in alive and v in alive}
+    deg = {}
+    for u, _v in e:
+        deg[u] = deg.get(u, 0) + 1
+    return deg
+
+
+def test_kcore_random_graph_matches_python_peel(spark):
+    from cloudtile_spark.operators.graph import kcore_residual
+
+    for seed, k in ((3, 2), (11, 3)):
+        rng = random.Random(seed)
+        nodes = list(range(80))
+        raw = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(220)]
+        edges = _undirect(raw)
+        expect = _py_kcore(edges, k, rounds=5)
+        df = spark.createDataFrame(edges, "u long, v long")
+        got = {r["node"]: r["deg"]
+               for r in kcore_residual(df, k=k, rounds=5).collect()}
+        assert got == expect
+
+
+def _py_lpa(edges, rounds):
+    """Reference synchronous mode-of-neighbors with min-label tiebreak."""
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, []).append(v)
+    lbl = {n: n for n in adj}
+    for _ in range(rounds):
+        new = {}
+        for n, nbrs in adj.items():
+            cnt = {}
+            for m in nbrs:
+                cnt[lbl[m]] = cnt.get(lbl[m], 0) + 1
+            new[n] = min(cnt, key=lambda c: (-cnt[c], c))
+        lbl = new
+    return lbl
+
+
+def test_label_prop_random_graph_matches_python_sync(spark):
+    from cloudtile_spark.operators.graph import label_propagation_sync
+
+    for seed in (5, 23):
+        rng = random.Random(seed)
+        nodes = list(range(60))
+        raw = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(150)]
+        edges = _undirect(raw)
+        expect = _py_lpa(edges, rounds=3)
+        df = spark.createDataFrame(edges, "u long, v long")
+        nd = spark.createDataFrame(
+            [(n,) for n in sorted({u for u, _ in edges})], "node long")
+        got = {r["node"]: r["lbl"]
+               for r in label_propagation_sync(df, nd, rounds=3).collect()}
+        assert got == expect
