@@ -5691,6 +5691,39 @@ _init_sample_quantiles()
 
 
 _shared_sql(
+    "events_anomaly_zscore",
+    """
+    WITH d AS (SELECT event_type, event_id,
+                      cast(round(value * 100, 0) as bigint) AS cents
+               FROM events),
+    m AS (SELECT event_type, count(*) AS n,
+                 sum(cents) AS s1, sum(cents * cents) AS s2
+          FROM d GROUP BY event_type)
+    SELECT d.event_type,
+           cast(count(*) as bigint) AS n_events,
+           cast(sum(CASE WHEN (m.n * d.cents - m.s1)
+                          * (m.n * d.cents - m.s1)
+                          > 9 * (m.n * m.s2 - m.s1 * m.s1)
+                    THEN 1 ELSE 0 END) as bigint) AS n_anomalies,
+           cast(min(CASE WHEN (m.n * d.cents - m.s1)
+                          * (m.n * d.cents - m.s1)
+                          > 9 * (m.n * m.s2 - m.s1 * m.s1)
+                    THEN d.event_id END) as bigint) AS first_anomaly
+    FROM d JOIN m ON m.event_type = d.event_type
+    GROUP BY d.event_type
+    """,
+    doc="z-score anomaly detection (|x - mean| > 3 sigma per event_type) "
+        "evaluated ENTIRELY in integer arithmetic: the test "
+        "(n*x - S1)^2 > 9*(n*S2 - S1^2) is the 3-sigma rule cross-"
+        "multiplied so no mean, variance, or sqrt is ever materialized "
+        "as a float — the squared term needs n*|cents| < 3e9 to fit "
+        "int64 (true through 3e5 rows/key at cent scale; rescale cents "
+        "or subtract a per-key median pivot beyond that), two hash aggs "
+        "+ one broadcastable stats join, hash-exact on any engine",
+)
+
+
+_shared_sql(
     "events_ntile_deciles",
     """
     WITH d AS (SELECT event_type, value,
