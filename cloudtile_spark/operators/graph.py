@@ -218,3 +218,31 @@ def label_propagation_sync(edges: DataFrame, nodes: DataFrame,
                         .select("node", "lbl")
                         .localCheckpoint(eager=True))
     return labels
+
+
+def bfs_distances(edges: DataFrame, nodes: DataFrame, source: int,
+                  rounds: int) -> DataFrame:
+    """Fixed-round BFS shortest-path distances from `source`: each round
+    relaxes the frontier one hop (min-distance union of the settled set
+    and every settled neighbor + 1). min() makes each round a hash agg —
+    re-settling an already-settled node can never raise its distance, so
+    the fixed-round trajectory is deterministic for any partitioning and
+    the DuckDB oracle is a straight-line MATERIALIZED-CTE unrolling.
+
+    Scale shape per round: one edges-frontier equi-join on the node key
+    + one min() hash agg — the same cost envelope as a PageRank round;
+    lineage truncated per round (localCheckpoint).
+
+    `edges` must hold both directions, deduplicated, no self-loops:
+    (u, v). Returns (node, dist) for every node within `rounds` hops.
+    """
+    dist = (nodes.filter(F.col("node") == source)
+                 .select("node", F.lit(0).cast("long").alias("dist")))
+    for _ in range(rounds):
+        nxt = (edges.join(dist, edges["v"] == dist["node"])
+                    .select(edges["u"].alias("node"),
+                            (F.col("dist") + 1).alias("dist")))
+        dist = (dist.unionByName(nxt)
+                    .groupBy("node").agg(F.min("dist").alias("dist"))
+                    .localCheckpoint(eager=True))
+    return dist

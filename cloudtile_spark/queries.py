@@ -5572,6 +5572,43 @@ def _init_kcore() -> None:
         "MATERIALIZED CTEs of the identical recurrence",
     )
 
+    # --- graph_bfs_hops: fixed-round single-source BFS on the same
+    # graph (frontier sizes 1/2/10/46/114 at 4 hops from node 0 at gate
+    # scale — 173 of 500 reached, so both reached and unreached branches
+    # are real).
+    BR = 4
+
+    def bfs_oracle() -> str:
+        parts = [_EDGE_BASE.format(legs=edge_legs(), mat=" MATERIALIZED"),
+                 "b0 AS MATERIALIZED (SELECT cast(0 as bigint) AS node,"
+                 " cast(0 as bigint) AS dist)"]
+        for t in range(1, BR + 1):
+            parts.append(
+                f"b{t} AS MATERIALIZED (SELECT node, min(dist) AS dist"
+                f" FROM (SELECT node, dist FROM b{t - 1}"
+                f" UNION ALL SELECT e.u AS node, b.dist + 1 AS dist"
+                f" FROM e0 e JOIN b{t - 1} b ON b.node = e.v) GROUP BY node)")
+        return ("WITH " + ",\n    ".join(parts)
+                + f"\nSELECT node, cast(dist as bigint) AS dist FROM b{BR}")
+
+    def bfs_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .operators.graph import bfs_distances
+
+        load_views(spark, sf_dir)
+        edges = spark.sql(
+            "WITH " + _EDGE_BASE.format(legs=edge_legs(), mat="")
+            + " SELECT u, v FROM e0")
+        nodes = spark.sql("SELECT doc_id AS node FROM documents")
+        return bfs_distances(edges, nodes, source=0, rounds=BR)
+
+    REGISTRY["graph_bfs_hops"] = Query(
+        "graph_bfs_hops", bfs_fn, bfs_oracle(),
+        "single-source BFS shortest-path distances (4 fixed hops): per "
+        "round one frontier equi-join + one min() hash agg on the node "
+        "key, lineage truncated per round; oracle = unrolled "
+        "MATERIALIZED CTEs of the identical relaxation",
+    )
+
 
 _init_kcore()
 

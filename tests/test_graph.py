@@ -187,3 +187,34 @@ def test_label_prop_random_graph_matches_python_sync(spark):
         got = {r["node"]: r["lbl"]
                for r in label_propagation_sync(df, nd, rounds=3).collect()}
         assert got == expect
+
+
+def _py_bfs(edges, source, rounds):
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(v, []).append(u)
+    dist = {source: 0}
+    for _ in range(rounds):
+        new = dict(dist)
+        for v, d in dist.items():
+            for u in adj.get(v, []):
+                if u not in new or new[u] > d + 1:
+                    new[u] = d + 1
+        dist = new
+    return dist
+
+
+def test_bfs_random_graph_matches_python_relaxation(spark):
+    from cloudtile_spark.operators.graph import bfs_distances
+
+    for seed in (9, 31):
+        rng = random.Random(seed)
+        nodes = list(range(70))
+        raw = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(120)]
+        edges = _undirect(raw)
+        expect = _py_bfs(edges, source=0, rounds=4)
+        df = spark.createDataFrame(edges, "u long, v long")
+        nd = spark.createDataFrame([(n,) for n in nodes], "node long")
+        got = {r["node"]: r["dist"]
+               for r in bfs_distances(df, nd, source=0, rounds=4).collect()}
+        assert got == expect
