@@ -244,7 +244,10 @@ def main() -> None:
         throughput["codegen_pip_rows_per_sec"] = round(n_rows / t, 1)
 
     if want("pip_shuffle_2m"):
-        t, n_rows = timed(lambda: bench_pip_shuffle(spark, cores))
+        # cogroup Arrow leg: same Python-worker + Arrow warm-up cost as
+        # pip_poly/knn (WARM_LEGS rationale above)
+        t, n_rows = timed(lambda: bench_pip_shuffle(spark, cores),
+                          warmup=True)
         times["pip_shuffle_2m"] = round(t, 3)
         throughput["shuffle_pip_rows_per_sec"] = round(n_rows / t, 1)
 
