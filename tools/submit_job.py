@@ -45,6 +45,25 @@ def run_job(spark, job: str, src: str, out: str, settings) -> dict:
     raise SystemExit(f"unknown job {job}")
 
 
+def run_query_job(spark, name: str, sf_dir: str, out: str) -> dict:
+    """Run ANY registry query by name against a table directory and sink
+    the result to parquet — the deployment shape for the whole engine:
+    `spark-submit --py-files dist/cloudtile_spark.zip tools/submit_job.py
+    query <name> <sf_dir> <out>`. On a cluster only --master and executor
+    sizing change."""
+    from cloudtile_spark.queries import REGISTRY
+
+    if name not in REGISTRY:
+        raise SystemExit(f"unknown query {name!r} "
+                         f"({len(REGISTRY)} registered)")
+    t0 = time.time()
+    df = REGISTRY[name].spark_fn(spark, sf_dir)
+    df.write.mode("overwrite").parquet(out)
+    n = spark.read.parquet(out).count()
+    return {"job": "query", "query": name, "rows": n,
+            "sec": round(time.time() - t0, 2)}
+
+
 def main() -> int:
     from cloudtile_spark.settings import TilingSettings
 
@@ -56,6 +75,13 @@ def main() -> int:
             spec = json.load(f)
         job, src, out = spec["job"], spec["src"], spec["out"]
         settings = TilingSettings.from_job_spec(spec)
+    elif sys.argv[1] == "query":
+        name, sf_dir, out = sys.argv[2:5]
+        spark = SparkSession.builder.appName(
+            f"cloudtile_spark_query_{name}").getOrCreate()
+        print(json.dumps(run_query_job(spark, name, sf_dir, out)))
+        spark.stop()
+        return 0
     else:
         job, src, minz, maxz, out = sys.argv[1:6]
         settings = TilingSettings()
