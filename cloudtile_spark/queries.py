@@ -5728,6 +5728,34 @@ _init_sample_quantiles()
 
 
 _shared_sql(
+    "events_markov_transitions",
+    """
+    WITH s AS (SELECT user_id, event_type,
+                      lag(event_type) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS prev_type
+               FROM events),
+    t AS (SELECT prev_type, event_type, count(*) AS cnt
+          FROM s WHERE prev_type IS NOT NULL
+          GROUP BY prev_type, event_type),
+    r AS (SELECT prev_type, sum(cnt) AS row_total FROM t
+          GROUP BY prev_type)
+    SELECT t.prev_type, t.event_type, cast(t.cnt as bigint) AS cnt,
+           cast(r.row_total as bigint) AS row_total,
+           cast(floor((t.cnt * 1000000) / r.row_total) as bigint)
+             AS prob_ppm
+    FROM t JOIN r ON r.prev_type = t.prev_type
+    """,
+    doc="first-order Markov transition matrix over per-user event "
+        "sequences (the sequence-bigram counting shape behind session "
+        "language models): one per-user lag window + two hash aggs, "
+        "probabilities as explicit floor() integer ppm (a bare "
+        "double->bigint cast TRUNCATES in Spark but ROUNDS in DuckDB — "
+        "the floor-form rule); at scale the window sorts per user key "
+        "only",
+)
+
+
+_shared_sql(
     "events_anomaly_zscore",
     """
     WITH d AS (SELECT event_type, event_id,
