@@ -2107,6 +2107,58 @@ def _ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "ann_cosine_topk_salted",
+    f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 101 = 0),
+    d AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                 {_DOT_DUCK} / ({_NORM_DUCK.format(col='q.embedding')} *
+                                {_NORM_DUCK.format(col='e.embedding')}) AS sim
+          FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.vec_id),
+    r AS (SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, neighbor_id) AS rank
+          FROM d)
+    SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 10
+    """,
+    doc="the SCALE shape of the brute cosine baseline: salted two-phase "
+        "top-k — partial top-10 per (query, neighbor_id%64 salt) slice, "
+        "final top-10 over the <=640 survivors per query. The global "
+        "top-10 under (sim DESC, neighbor_id) ordering is a subset of "
+        "the per-salt partials under the SAME ordering, so the output "
+        "is provably identical to the monolithic window (the oracle IS "
+        "the plain form). Why it exists: tools/bench_ann_scale.py "
+        "caught the plain per-query window sort going INVERSE-scaling "
+        "at 64M candidates x 32 cores (concurrent multi-GB sorts -> "
+        "spill); the salt bounds every sort slice — design principle "
+        "#2 (hash-bounded partials, never monolithic sorts) applied to "
+        "similarity search",
+)
+def _ann_cosine_topk_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        WITH q AS (SELECT vec_id, embedding FROM embeddings
+                   WHERE vec_id % 101 = 0),
+        d AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                     {_DOT_SPARK} / ({_NORM_SPARK.format(col='q.embedding')} *
+                                     {_NORM_SPARK.format(col='e.embedding')}) AS sim
+              FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.vec_id),
+        p AS (SELECT query_id, neighbor_id, sim,
+                     row_number() OVER (
+                         PARTITION BY query_id, pmod(neighbor_id, 64)
+                         ORDER BY sim DESC, neighbor_id) AS prk
+              FROM d),
+        r AS (SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, neighbor_id)
+                       AS rank
+              FROM p WHERE prk <= 10)
+        SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 10
+        """
+    )
+
+
 def _init_ann_lsh() -> None:
     from .operators.similarity import (
         ann_lsh_bucket_table_sql, ann_lsh_rerank_body_sql, ann_lsh_topk_sql,
