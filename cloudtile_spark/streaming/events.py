@@ -329,3 +329,40 @@ def asof_enrich_stream(stream: DataFrame) -> DataFrame:
             outputMode="append", timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def route_quality_stream(doc_stream: DataFrame, pass_dir: str,
+                         fail_dir: str, checkpoint_dir: str):
+    """Multi-sink quality routing via foreachBatch — the production
+    corpus-ingest shape: one pass over the stream, rows routed to a
+    keep sink and a reject sink by a stateless quality rule (alnum
+    ratio >= 60% and length >= 20, computed JVM-side).
+
+    foreachBatch is exactly-once only if the batch write is IDEMPOTENT
+    under retries; each sink therefore writes to a batch=<id>
+    subdirectory with mode("overwrite") — a replayed batch overwrites
+    its own output instead of duplicating it (read the sink with
+    spark.read.parquet(dir) — the batch= partitioning is transparent).
+    """
+    flagged = doc_stream.withColumn(
+        "q_pass",
+        (F.length("text") >= 20)
+        & (F.length(F.regexp_replace("text", "[^a-z0-9A-Z]", ""))
+           * 10 >= F.length("text") * 6),
+    )
+
+    def route(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            batch_df.filter("q_pass").drop("q_pass").write \
+                .mode("overwrite").parquet(f"{pass_dir}/batch={batch_id}")
+            batch_df.filter("NOT q_pass").drop("q_pass").write \
+                .mode("overwrite").parquet(f"{fail_dir}/batch={batch_id}")
+        finally:
+            batch_df.unpersist()
+
+    q = (flagged.writeStream.foreachBatch(route)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return q

@@ -805,3 +805,45 @@ def test_png_decode_roundtrip_and_malformed():
             + mm._png_chunk(b"IEND", b""))
     with _pytest.raises(ValueError):
         mm.decode_png(gray)
+
+
+def test_streaming_quality_router_foreachbatch(spark, tmp_path_factory):
+    """foreachBatch multi-sink routing: one stream pass splits docs into
+    keep/reject parquet sinks; the union of both sinks must equal a
+    batch split of the same source (same rule, same rows), and a second
+    availableNow pass with new files must only append those files'
+    rows (checkpointed batch ids; idempotent batch=<id> writes)."""
+    from cloudtile_spark.streaming import events as st
+
+    src = str(tmp_path_factory.mktemp("route_src"))
+    pass_dir = str(tmp_path_factory.mktemp("route_pass"))
+    fail_dir = str(tmp_path_factory.mktemp("route_fail"))
+    ckpt = str(tmp_path_factory.mktemp("route_ckpt"))
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    docs.filter("doc_id % 2 = 0").coalesce(1).write.mode("append") \
+        .parquet(src)
+    st.route_quality_stream(
+        st.read_docs_stream(spark, src), pass_dir, fail_dir, ckpt)
+
+    got_pass = spark.read.parquet(pass_dir)
+    got_fail = spark.read.parquet(fail_dir)
+    rule = ("length(text) >= 20 AND length(regexp_replace(text, "
+            "'[^a-z0-9A-Z]', '')) * 10 >= length(text) * 6")
+    want = docs.filter("doc_id % 2 = 0")
+    assert sorted(r.doc_id for r in got_pass.collect()) == \
+        sorted(r.doc_id for r in want.filter(rule).collect())
+    assert sorted(r.doc_id for r in got_fail.collect()) == \
+        sorted(r.doc_id for r in want.filter(f"NOT ({rule})").collect())
+
+    # pass 2: only the new files flow; nothing is re-routed
+    docs.filter("doc_id % 2 = 1").coalesce(1).write.mode("append") \
+        .parquet(src)
+    st.route_quality_stream(
+        st.read_docs_stream(spark, src), pass_dir, fail_dir, ckpt)
+    n_all = spark.read.parquet(pass_dir).count() + \
+        spark.read.parquet(fail_dir).count()
+    assert n_all == docs.count()
+    assert spark.read.parquet(pass_dir).select("doc_id").distinct() \
+        .count() == spark.read.parquet(pass_dir).count()
