@@ -5780,6 +5780,30 @@ _init_sample_quantiles()
 
 
 _shared_sql(
+    "ts_downsample_m4",
+    """
+    WITH d AS (SELECT event_type,
+                      cast(round(value * 100, 0) as bigint) AS cents,
+                      event_id,
+                      cast(floor(event_id * 200 / (SELECT max(event_id)
+                                 + 1 FROM events)) as bigint) AS bucket
+               FROM events)
+    SELECT event_type, bucket,
+           cast(count(*) as bigint) AS n,
+           min(cents) AS lo, max(cents) AS hi,
+           cast(min(event_id) as bigint) AS first_id,
+           cast(max(event_id) as bigint) AS last_id
+    FROM d GROUP BY event_type, bucket
+    """,
+    doc="M4 time-series downsampling (Jugel et al., VLDB 2014): min/max/"
+        "first/last per (series, pixel-bucket) — the error-free "
+        "line-chart reduction — as ONE map-side-combinable hash agg; "
+        "200 buckets stand in for the pixel width, the bucket key is "
+        "pure integer arithmetic, no window, no sort at any scale",
+)
+
+
+_shared_sql(
     "events_markov_transitions",
     """
     WITH s AS (SELECT user_id, event_type,
