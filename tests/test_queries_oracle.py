@@ -296,3 +296,30 @@ def test_overlay_poly_shuffle_equals_broadcast_and_no_broadcast_plan(spark):
         assert n > 0
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_round5_queries_safe_on_empty_tables(spark, monkeypatch):
+    """Every round-5 query must degrade to an empty (or seed-only)
+    result on EMPTY input tables — no division-by-zero, no null
+    explosion, no planner error. The oracle gate only sees real
+    tables; this pins the degenerate edge."""
+    import cloudtile_spark.queries as Q
+
+    for t in Q.TABLES:
+        spark.read.parquet(f"{SF_DIR}/{t}.parquet").limit(0) \
+            .createOrReplaceTempView(t)
+    monkeypatch.setattr(Q, "load_views", lambda *a, **k: None)
+
+    for name in [
+        "text_repetition_gopher", "dedup_chunks_global",
+        "text_decontaminate", "text_pii_scrub", "seq_packing",
+        "sketch_countmin", "dedup_edit_distance", "cooccur_item_sim",
+        "sketch_bloom_filter", "graph_kcore", "graph_label_prop",
+        "graph_bfs_hops", "corpus_split_train_val",
+        "sketch_sample_quantiles", "events_ntile_deciles",
+        "events_anomaly_zscore", "events_markov_transitions",
+        "ts_downsample_m4", "ann_cosine_topk_salted",
+    ]:
+        q = REGISTRY[name]
+        fn = getattr(q.spark_fn, "__wrapped__", q.spark_fn)
+        assert fn(spark, "unused").count() == 0, name
