@@ -45,8 +45,42 @@ def pip_join_bbox(points: DataFrame, zones: DataFrame) -> DataFrame:
     )
 
 
+# pip_join routing: the all-JVM unrolled ray-cast (pip_join_codegen) is
+# bit-identical to the Arrow refine and measured ~4x faster on the bench
+# corpus (driver BENCH_r05: 8.9s Arrow vs 1.5s codegen for the same leg),
+# so it is the DEFAULT strategy whenever the flattened-ring broadcast
+# table stays sane. The Arrow kernel remains the parity oracle
+# (tests/test_joins.py) and the fallback for vertex counts that would
+# blow up the unrolled expression or the broadcast row width.
+PIP_CODEGEN_MAX_VERTS = 128       # terms in the unrolled even-odd expr
+PIP_CODEGEN_MAX_CELLS = 4_000_000  # zones x verts: broadcast-table doubles
+
+
 def pip_join(points: DataFrame, zones_pdf: pd.DataFrame) -> DataFrame:
-    """Exact point-in-polygon join.
+    """Exact point-in-polygon join — strategy router.
+
+    Routes to :func:`pip_join_codegen` (broadcast flattened-ring table +
+    unrolled even-odd ray cast, zero Python operators) when every ring
+    fits the unrolled-expression budget; falls back to
+    :func:`pip_join_arrow` (bbox broadcast join + Arrow ray-cast refine)
+    for pathological vertex counts. Both strategies produce bit-identical
+    output (same IEEE ops in the same order — parity pytest + oracle hash
+    47bc2b56e254 across all variants).
+    """
+    max_v = 0
+    for _, r in zones_pdf.iterrows():
+        ring = np.asarray(r.ring, dtype=np.float64)
+        if len(ring) and np.array_equal(ring[0], ring[-1]):
+            ring = ring[:-1]
+        max_v = max(max_v, len(ring))
+    if (max_v <= PIP_CODEGEN_MAX_VERTS
+            and max_v * len(zones_pdf) <= PIP_CODEGEN_MAX_CELLS):
+        return pip_join_codegen(points, zones_pdf)
+    return pip_join_arrow(points, zones_pdf)
+
+
+def pip_join_arrow(points: DataFrame, zones_pdf: pd.DataFrame) -> DataFrame:
+    """Exact point-in-polygon join (Arrow refine strategy).
 
     ``zones_pdf`` is a driver-side pandas frame (zone_id, ring) where ring is
     an (n, 2) float64 array — the polygon side of a PIP join is the small

@@ -1015,9 +1015,11 @@ def _pip_poly_oracle() -> str:
 @_register(
     "pip_poly_join",
     _pip_poly_oracle(),
-    doc="exact point-in-polygon join: broadcast bbox prefilter + vectorized "
-        "ray-cast refine in Arrow batches (operators/joins.pip_join); the "
-        "oracle checks it independently via convex half-plane tests",
+    doc="exact point-in-polygon join via the pip_join strategy router "
+        "(operators/joins.pip_join): broadcast flattened-ring table + "
+        "unrolled all-JVM ray cast by default, Arrow-batch refine fallback "
+        "for pathological vertex counts — both bit-identical; the oracle "
+        "checks it independently via convex half-plane tests",
 )
 def _pip_poly_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.joins import pip_join

@@ -8,7 +8,7 @@ from pyspark.sql import functions as F, Window
 
 from cloudtile_spark import geom
 from cloudtile_spark.operators.extract import extract_features
-from cloudtile_spark.operators.joins import knn_join, pip_join
+from cloudtile_spark.operators.joins import knn_join, pip_join, pip_join_arrow
 from cloudtile_spark.sources.pages import synth_pages
 from cloudtile_spark.sources.zones import synth_zones, zone_predicate_sql
 
@@ -21,11 +21,12 @@ def feats(spark):
     return df
 
 
-def test_pip_join_matches_numpy_oracle(spark, feats):
+@pytest.mark.parametrize("impl", [pip_join, pip_join_arrow])
+def test_pip_join_matches_numpy_oracle(spark, feats, impl):
     zones = synth_zones(25)
     got = sorted(
         (r.feature_id, r.zone_id)
-        for r in pip_join(feats, zones).collect()
+        for r in impl(feats, zones).collect()
     )
     pts = feats.orderBy("feature_id").toPandas()
     expect = []
@@ -140,20 +141,42 @@ def test_pip_codegen_equals_arrow_path(spark, feats):
     from cloudtile_spark.operators.joins import pip_join_codegen
 
     zones = synth_zones(25)
-    a = sorted(map(tuple, pip_join(feats, zones).collect()))
+    a = sorted(map(tuple, pip_join_arrow(feats, zones).collect()))
     b = sorted(map(tuple, pip_join_codegen(feats, zones).collect()))
     assert a == b
     # uneven vertex counts: a triangle zone forces vertex-0 padding; the
     # padded zero-length edges must contribute no crossings
     tri = zones.head(2).copy()
     tri.at[1, "ring"] = tri.at[1, "ring"][:4]  # 3 verts + close
-    a = sorted(map(tuple, pip_join(feats, tri).collect()))
+    a = sorted(map(tuple, pip_join_arrow(feats, tri).collect()))
     b = sorted(map(tuple, pip_join_codegen(feats, tri).collect()))
     assert a == b
     plan = pip_join_codegen(feats, zones)._jdf.queryExecution() \
         .executedPlan().toString()
     for marker in ("MapInPandas", "ArrowEval", "BatchEval", "PythonUDF"):
         assert marker not in plan
+
+
+def test_pip_join_router_defaults_to_codegen(spark, feats):
+    """pip_join must route small-vertex zone sets to the all-JVM codegen
+    plan (no Python operators) and fall back to the Arrow refine when the
+    unrolled expression budget is exceeded."""
+    from cloudtile_spark.operators import joins
+
+    zones = synth_zones(25)
+    plan = pip_join(feats, zones)._jdf.queryExecution() \
+        .executedPlan().toString()
+    for marker in ("MapInPandas", "ArrowEval", "BatchEval", "PythonUDF"):
+        assert marker not in plan
+    # a ring wider than the unrolled budget falls back to the Arrow path
+    big = synth_zones(2, verts=joins.PIP_CODEGEN_MAX_VERTS + 1)
+    plan = pip_join(feats, big)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "MapInPandas" in plan
+    # and the two strategies agree on that input too
+    a = sorted(map(tuple, pip_join_arrow(feats, big).collect()))
+    b = sorted(map(tuple, pip_join(feats, big).collect()))
+    assert a == b
 
 
 def test_pip_shuffle_codegen_no_broadcast_no_python(spark, feats,
