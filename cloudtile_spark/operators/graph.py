@@ -43,14 +43,18 @@ def _checksum(e: DataFrame) -> tuple:
 def _large_star(e: DataFrame) -> DataFrame:
     """Input: symmetric edge list (u,v). For each u connect every strictly
     larger neighbor to min(Gamma(u) ∪ {u}). Output directed (bigger ->
-    smaller) edges."""
+    smaller) edges.
+
+    No dedup here: the output is exactly one row per undirected input edge
+    (the v > u filter keeps one orientation), so it cannot grow, and
+    _small_star's terminal distinct dedupes anything that coincides — a
+    distinct at this point was one whole extra exchange per round."""
     mins = e.groupBy("u").agg(F.min("v").alias("mn"))
     return (
         e.join(mins, "u")
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"),
                 F.least(F.col("u"), F.col("mn")).alias("v"))
-        .distinct()
     )
 
 
@@ -73,29 +77,47 @@ def connected_components(
     """Return (node BIGINT, component BIGINT): component = min node id of
     the node's connected component. Self-loops ignored; isolated endpoints
     (only self-loop rows) still appear mapped to themselves."""
+    # Truncate the INPUT lineage once: the edge list is consumed by three
+    # independent subtrees (nodes, the loop seed, nothing else) and often
+    # sits on top of an expensive upstream plan (the MinHash verify join in
+    # dedup_cc_clusters). Without this, every consumer re-plans, re-codegens
+    # and re-executes that whole subtree — measured 4.7s of the leg's time
+    # in the final output job alone. The checkpoint materializes lazily
+    # inside the first checksum job.
     raw = edges.select(F.col(src).cast("long").alias("u"),
-                       F.col(dst).cast("long").alias("v"))
+                       F.col(dst).cast("long").alias("v")) \
+        .localCheckpoint(eager=False)
     nodes = (raw.select("u").unionByName(raw.select(F.col("v").alias("u")))
              .distinct())
-    e = raw.where(F.col("u") != F.col("v"))
-    e = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-                      ).distinct()
+    # Loop state is the DIRECTED edge set (every row v < u, one row per
+    # undirected edge): the symmetric view each large-star round needs is
+    # d UNION swap(d), which is distinct BY CONSTRUCTION (the two halves
+    # are disjoint), so the old symmetrize-then-distinct exchange at the
+    # end of every round disappears and the checkpointed state is half
+    # the rows.
+    d = (raw.where(F.col("u") != F.col("v"))
+         .select(F.greatest("u", "v").alias("u"),
+                 F.least("u", "v").alias("v"))
+         .distinct())
 
     # Iterative state MUST truncate lineage each round (localCheckpoint):
     # without it the plan doubles per iteration and analysis time explodes
     # (measured: 3 edges / 3 rounds = 86s un-truncated, <10s truncated).
+    # eager=False: the checkpoint materializes inside the SAME job as the
+    # convergence checksum that immediately follows (the first action on
+    # the marked RDD caches it), so each round costs ONE Spark job instead
+    # of two — per-round latency, not data volume, dominates this loop.
     # On a real cluster with executor churn, swap for checkpoint() against
     # a reliable dir — same call shape, durability instead of locality.
-    e = e.localCheckpoint(eager=True)
-    prev_sig = _checksum(e)
+    d = d.localCheckpoint(eager=False)
+    prev_sig = _checksum(d)
     for _ in range(max_iter):
-        # large-star needs the symmetric view; its output is directed.
-        directed = _large_star(e)
-        star = _small_star(directed)
-        e = star.unionByName(
-            star.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        ).distinct().localCheckpoint(eager=True)
-        sig = _checksum(e)
+        sym = d.unionByName(
+            d.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        # large-star needs the symmetric view; its output is directed,
+        # small-star keeps it directed (every output row has v < u).
+        d = _small_star(_large_star(sym)).localCheckpoint(eager=False)
+        sig = _checksum(d)
         if sig == prev_sig:
             break
         prev_sig = sig
@@ -103,9 +125,8 @@ def connected_components(
         raise RuntimeError(
             f"connected_components: no convergence in {max_iter} rounds")
 
-    # converged: the directed half (v < u) is a star child -> root map.
-    roots = (e.where(F.col("v") < F.col("u"))
-             .groupBy("u").agg(F.min("v").alias("comp")))
+    # converged: the directed state is a star child -> root map.
+    roots = d.groupBy("u").agg(F.min("v").alias("comp"))
     return (nodes.join(roots, "u", "left")
             .select(F.col("u").alias("node"),
                     F.coalesce(F.col("comp"), F.col("u"))
