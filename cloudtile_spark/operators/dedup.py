@@ -156,6 +156,24 @@ def winnow_fingerprints_sql(d: Dialect, k: int = 3, w: int = 4) -> str:
     """
 
 
+def with_repartition_hint(corpus_cte: str, n: int,
+                          key: str = "doc_id") -> str:
+    """Spark-side-only wrapper: hash-repartition the corpus CTE body to
+    ``n`` partitions on ``key`` BEFORE the expensive shingle/md5
+    projection consumes it. The driver's documents table is one parquet
+    row group (scans as a single task), so without this the whole
+    interpreted-HOF text pass runs single-threaded — measured 1.9s of
+    the 3.5s minhash leg (guide §2.5 input skew: repartition right after
+    the read). Explicit count so AQE cannot coalesce the small shuffle
+    back to one partition; hash on the id so no sort-before-repartition.
+    The DuckDB oracle keeps the unhinted CTE — a /*+ */ hint changes no
+    results, only the Spark physical plan."""
+    name, _, body = corpus_cte.partition(" AS (")
+    assert body.endswith(")"), corpus_cte
+    return (f"{name} AS (SELECT /*+ REPARTITION({n}, {key}) */ * "
+            f"FROM ({body[:-1]}) _c)")
+
+
 def minhash_hashed_sql(d: Dialect, corpus_cte: str, k: int = 3) -> str:
     """Stage 0 of the staged LSH pipeline: (doc_id, hashes) — the shingle
     hash array per doc. This is the ONE expensive text pass (tokenize +

@@ -41,7 +41,18 @@ TABLES = [
 
 def load_views(spark: SparkSession, sf_dir: str) -> None:
     """Register the driver's parquet tables as temp views (same names DuckDB
-    pre-registers)."""
+    pre-registers).
+
+    NOTE on scan parallelism: the driver's files are single-row-group
+    parquet, so every scan plans as ONE task regardless of byte size. A
+    round-6 experiment hash-repartitioned every mid-size table here to
+    session parallelism — and made 10 of 12 measured legs ~2x SLOWER: at
+    this data size the added exchange (+1 AQE stage, ~0.5s) costs more
+    than the single-task scan does for every leg whose heavy work already
+    sits behind its first shuffle. The repartition is applied surgically
+    instead, inside the one pipeline whose PRE-shuffle work is measured
+    in seconds (the MinHash shingle/md5 text pass — see
+    dedup.with_repartition_hint)."""
     for t in TABLES:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
 
@@ -1584,11 +1595,13 @@ def _init_dedup_queries() -> None:
 
     def minhash_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_views(spark, sf_dir)
-        # the shingle+md5 text pass runs ONCE (staged stage-0); band rows
-        # and verification shingle sets both derive from it
+        # the shingle+md5 text pass runs ONCE (staged stage-0), spread to
+        # session parallelism (single-row-group input scans as one task);
+        # band rows and verification shingle sets both derive from it
+        par_cte = dd.with_repartition_hint(
+            dd.PLANTED_CORPUS_CTE, spark.sparkContext.defaultParallelism)
         vh = caching.stage_view(
-            spark.sql(dd.minhash_hashed_sql(dd.SPARK,
-                                            dd.PLANTED_CORPUS_CTE)),
+            spark.sql(dd.minhash_hashed_sql(dd.SPARK, par_cte)),
             "lsh_h")
         vb = caching.stage_view(
             spark.sql(dd.minhash_band_rows_from_hashed_sql(dd.SPARK, vh)),
@@ -1804,9 +1817,10 @@ def _init_dedup_queries() -> None:
         from .operators.graph import connected_components
 
         load_views(spark, sf_dir)
+        par_cte = dd.with_repartition_hint(
+            dd.PLANTED_CORPUS_CTE, spark.sparkContext.defaultParallelism)
         vh = caching.stage_view(
-            spark.sql(dd.minhash_hashed_sql(dd.SPARK,
-                                            dd.PLANTED_CORPUS_CTE)),
+            spark.sql(dd.minhash_hashed_sql(dd.SPARK, par_cte)),
             "cc_h")
         vb = caching.stage_view(
             spark.sql(dd.minhash_band_rows_from_hashed_sql(dd.SPARK, vh)),
