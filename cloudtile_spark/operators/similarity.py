@@ -171,7 +171,20 @@ def ann_lsh_topk_sql(dialect: str, k: int = 10, query_mod: int = 101) -> str:
     )
 
 
-def ann_lsh_bucket_table_sql(dialect: str) -> str:
+def _emb_rel(dialect: str, par: int | None) -> str:
+    """The embeddings relation, optionally hash-repartitioned to ``par``
+    partitions (Spark only). The driver's embeddings file is one parquet
+    row group, so without this every expensive per-vector projection
+    (hyperplane dots, PQ encode) runs in a single scan task — guide §2.5
+    input skew. A /*+ */ hint changes no results; the oracle dialect
+    never sets ``par``."""
+    if par and dialect == "spark":
+        return (f"(SELECT /*+ REPARTITION({par}, vec_id) */ * "
+                f"FROM embeddings)")
+    return "embeddings"
+
+
+def ann_lsh_bucket_table_sql(dialect: str, par: int | None = None) -> str:
     """Stage 1: (vec_id, embedding, b0..b3) — 16 hyperplane dot products
     per vector, the expensive stage. Materialize/persist once on the Spark
     side: the statement references it 10 times (4 match branches x 2 sides
@@ -185,7 +198,8 @@ def ann_lsh_bucket_table_sql(dialect: str) -> str:
         for t in range(N_TABLES)
     ]
     bucket_cols = ", ".join(f"{b} AS b{t}" for t, b in enumerate(buckets))
-    return f"SELECT vec_id, embedding, {bucket_cols} FROM embeddings"
+    return (f"SELECT vec_id, embedding, {bucket_cols} "
+            f"FROM {_emb_rel(dialect, par)} _emb")
 
 
 def ann_lsh_rerank_body_sql(dialect: str, t_tbl: str,
@@ -440,10 +454,10 @@ def _pq_m_values() -> str:
     return ", ".join(f"({m})" for m in range(PQ_M))
 
 
-def _pq_qv(d: str) -> str:
-    """Derived table: quantized integer vectors."""
+def _pq_qv(d: str, par: int | None = None) -> str:
+    """Derived table: quantized integer vectors (see _emb_rel for par)."""
     return (f"(SELECT vec_id, {_pq_quant('embedding', d)} AS e "
-            f"FROM embeddings)")
+            f"FROM {_emb_rel(d, par)} _emb)")
 
 
 def _pq_cb(d: str) -> str:
@@ -475,7 +489,7 @@ _PQ_CODES_BODY = """
     SELECT vec_id, m, code FROM scored WHERE rn = 1"""
 
 
-def pq_codes_sql(dialect: str) -> str:
+def pq_codes_sql(dialect: str, par: int | None = None) -> str:
     """Encode stage: (vec_id, m, code) — each vector's nearest codebook
     entry per subspace (integer L2, lowest-code tiebreak). This is the
     table a deployment PERSISTS (8 small ints ~ 8 bytes per vector vs 256
@@ -493,7 +507,7 @@ def pq_codes_sql(dialect: str) -> str:
             f"SELECT q.vec_id, cb.m, cb.code, "
             f"row_number() OVER (PARTITION BY q.vec_id, cb.m "
             f"ORDER BY {dist}, cb.code) AS rn "
-            f"FROM {_pq_qv(d)} q CROSS JOIN {_pq_cb(d)} cb) s "
+            f"FROM {_pq_qv(d, par)} q CROSS JOIN {_pq_cb(d)} cb) s "
             f"WHERE rn = 1")
 
 

@@ -2106,6 +2106,10 @@ _NORM_DUCK = (
 )
 def _ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_views(spark, sf_dir)
+    # No REPARTITION hint here, deliberately: an interleaved A/B (r6)
+    # measured the hinted form SLOWER (1.05s vs 0.83s) — 2000 x 20 sims
+    # is too little compute to amortize the extra exchange, unlike the
+    # LSH/PQ encode stages where the same hint wins ~1.5-2x.
     return spark.sql(
         f"""
         WITH q AS (SELECT vec_id, embedding FROM embeddings
@@ -2181,12 +2185,14 @@ def _init_ann_lsh() -> None:
     )
 
     # oracle: single statement; Spark: the bucket table (16 dot products
-    # per vector) persists once instead of recomputing per reference
+    # per vector) materializes once at session parallelism instead of
+    # recomputing per reference
     duck_sql = ann_lsh_topk_sql("duck")
-    stage_sql = ann_lsh_bucket_table_sql("spark")
 
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_views(spark, sf_dir)
+        stage_sql = ann_lsh_bucket_table_sql(
+            "spark", par=spark.sparkContext.defaultParallelism)
         vt = caching.stage_view(spark.sql(stage_sql), "lsh_t")
         return spark.sql("WITH " + ann_lsh_rerank_body_sql("spark", vt))
 
@@ -2207,13 +2213,14 @@ def _init_ann_pq() -> None:
     )
 
     duck_sql = pq_topk_sql("duck")
-    codes_sql = pq_codes_sql("spark")
 
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_views(spark, sf_dir)
-        # encode ONCE into a persisted codes table (8 small ints/vector —
-        # the stage a deployment writes out; ~32x smaller than raw
-        # vectors), then ADC-search against it
+        # encode ONCE into a materialized codes table (8 small ints/vector
+        # — the stage a deployment writes out; ~32x smaller than raw
+        # vectors) at session parallelism, then ADC-search against it
+        codes_sql = pq_codes_sql(
+            "spark", par=spark.sparkContext.defaultParallelism)
         vt = caching.stage_view(spark.sql(codes_sql), "pq_codes")
         return spark.sql(pq_adc_body_sql("spark", vt))
 
