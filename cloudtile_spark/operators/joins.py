@@ -377,13 +377,13 @@ def _with_cell_xy(df: DataFrame, lon: str, lat: str, res: int) -> DataFrame:
 
 def _ring_pass(
     points: DataFrame, qs: DataFrame, k: int, res: int, ring: int,
-    hint_small: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """One certified k-ring pass at (res, ring): returns (exact top-k rows
     for certified queries, certified query ids). qs must carry
-    (query_id, qlon, qlat, cx, cy). ``hint_small=False`` drops the
-    broadcast hint on the certified-id join (for query sides too large to
-    broadcast — AQE still picks broadcast at runtime when it fits)."""
+    (query_id, qlon, qlat, cx, cy). The certificate is computed as window
+    columns over the top-k rows (already partitioned by query_id from the
+    rank window) — zero extra exchanges, no broadcast-rejoin; callers
+    decide how to join the certified-id frame."""
     pts = _with_cell_xy(points, "lon", "lat", res) \
         .withColumnRenamed("cx", "px").withColumnRenamed("cy", "py")
     n = 1 << res
@@ -410,16 +410,18 @@ def _ring_pass(
     # exact-spherical lower bound of the distance from the query point to
     # the k-ring outer boundary (see _ring_bound_sql)
     bound = _ring_bound_sql(ring, f"{n}.0", str(360.0 / n))
-    per_q = topk.groupBy("query_id", "qlon", "qlat", "cx", "cy").agg(
-        F.count("*").alias("n_cand"),
-        F.max("dist").alias("kth_dist"),
-    ).withColumn("bound_m", F.expr(bound))
-    certified = per_q.filter(
-        (F.col("n_cand") >= k) & (F.col("kth_dist") <= F.col("bound_m"))
-    ).select("query_id")
-    cert_side = F.broadcast(certified) if hint_small else certified
-    exact = topk.join(cert_side, "query_id") \
-                .select("query_id", "feature_id", "dist", "rank")
+    wq = Window.partitionBy("query_id")
+    flagged = (
+        topk.withColumn("n_cand", F.count("*").over(wq))
+        .withColumn("kth_dist", F.max("dist").over(wq))
+        .withColumn("bound_m", F.expr(bound))
+        .withColumn(
+            "cert_ok",
+            (F.col("n_cand") >= k) & (F.col("kth_dist") <= F.col("bound_m")))
+    )
+    exact = flagged.filter("cert_ok") \
+                   .select("query_id", "feature_id", "dist", "rank")
+    certified = flagged.filter("cert_ok").select("query_id").distinct()
     return exact, certified
 
 
@@ -526,33 +528,32 @@ def knn_join_adaptive(
         )
 
     # 1. cell counts at every resolution — hierarchically: ONE scan of the
-    # point side at the FINEST resolution, then coarser levels roll up from
-    # the (tiny) counts table by integer parent math. This replaces a
-    # len(res_levels)-x explode of the full input with one pass + rollups
-    # over aggregated rows.
+    # point side at the FINEST resolution, then every coarser level derives
+    # from the (tiny) finest-level counts by integer parent math. The
+    # derivation is a single explode + re-aggregation (each finest cell
+    # emits its (level, parent) keys for all levels at once) — the former
+    # per-level rollup loop planned one aggregation branch per level plus
+    # a union, ~4 extra stages whose scheduling latency dominated this
+    # phase at bench scale (r6 measurement: 2.4s -> mostly stage latency).
     finest = max(res_levels)
     base = (
         _with_cell_xy(points.select("lon", "lat"), "lon", "lat", finest)
-        .groupBy(
-            F.lit(finest).alias("kres"), F.col("cx").alias("kx"),
-            F.col("cy").alias("ky"),
-        ).count()
+        .groupBy(F.col("cx").alias("kx"), F.col("cy").alias("ky"))
+        .count()
     )
-    # consumed by every rollup level; tiny (<= #points rows). Staged via
-    # caching.stage so the next registry query / an explicit
-    # caching.release_staged() frees it (round-2 leak fix).
-    base = caching.stage(base)
-    counts = base
-    for r in sorted((r for r in res_levels if r != finest), reverse=True):
-        shift = finest - r
-        lvl = (
-            base.groupBy(
-                F.lit(r).alias("kres"),
-                F.shiftright("kx", shift).alias("kx"),
-                F.shiftright("ky", shift).alias("ky"),
-            ).agg(F.sum("count").alias("count"))
+    lvl_structs = F.array(*[
+        F.struct(
+            F.lit(r).alias("kres"),
+            F.shiftright("kx", finest - r).alias("kx"),
+            F.shiftright("ky", finest - r).alias("ky"),
         )
-        counts = counts.unionByName(lvl)
+        for r in res_levels
+    ])
+    counts = (
+        base.select(F.explode(lvl_structs).alias("s"), "count")
+        .groupBy("s.kres", "s.kx", "s.ky")
+        .agg(F.sum("count").alias("count"))
+    )
 
     # 2. ring cells per (query, res); pick finest res with enough candidates
     q_ring = (
@@ -627,17 +628,25 @@ def knn_join_adaptive(
             .filter(F.col("rank") <= k))
 
     # 4. certificate with res-dependent geometry (n = 2^res as a column);
-    # exact-spherical bound, see _ring_bound_sql
+    # exact-spherical bound, see _ring_bound_sql. Computed as WINDOW
+    # columns over topk — topk is already partitioned by query_id from
+    # the rank window, so the certificate adds ZERO exchanges and the
+    # certified rows select with a plain filter instead of the former
+    # groupBy + broadcast-rejoin round trip (one shuffle + one broadcast
+    # job saved; bit-identical: same per-query count/max/bound).
     bound = _ring_bound_sql(ring, "pow(2.0, res)", "(360.0 / pow(2.0, res))")
-    per_q = topk.groupBy("query_id", "qlat", "qlon", "res", "cx", "cy").agg(
-        F.count("*").alias("n_cand"), F.max("dist").alias("kth_dist"),
-    ).withColumn("bound_m", F.expr(bound))
-    certified = per_q.filter(
-        (F.col("n_cand") >= k) & (F.col("kth_dist") <= F.col("bound_m"))
-    ).select("query_id")
-
-    exact_part = topk.join(F.broadcast(certified), "query_id") \
-                     .select("query_id", "feature_id", "dist", "rank")
+    wq = Window.partitionBy("query_id")
+    flagged = (
+        topk.withColumn("n_cand", F.count("*").over(wq))
+        .withColumn("kth_dist", F.max("dist").over(wq))
+        .withColumn("bound_m", F.expr(bound))
+        .withColumn(
+            "cert_ok",
+            (F.col("n_cand") >= k) & (F.col("kth_dist") <= F.col("bound_m")))
+    )
+    exact_part = flagged.filter("cert_ok") \
+                        .select("query_id", "feature_id", "dist", "rank")
+    certified = flagged.filter("cert_ok").select("query_id").distinct()
 
     failed = queries.join(F.broadcast(certified), "query_id", "left_anti") \
                     .select("query_id", "qlon", "qlat")
@@ -841,10 +850,9 @@ def knn_join_shuffle(
     spark = points.sparkSession
     qs = _with_cell_xy(queries, "qlon", "qlat", res)
 
-    exact1, cert1 = _ring_pass(points, qs, k, res, ring, hint_small=False)
+    exact1, cert1 = _ring_pass(points, qs, k, res, ring)
     failed1 = qs.join(cert1, "query_id", "left_anti")
-    exact2, cert2 = _ring_pass(points, failed1, k, res, 3 * ring + 1,
-                               hint_small=False)
+    exact2, cert2 = _ring_pass(points, failed1, k, res, 3 * ring + 1)
     failed2 = failed1.join(cert2, "query_id", "left_anti") \
                      .select("query_id", "qlon", "qlat")
 
