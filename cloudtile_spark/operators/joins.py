@@ -285,29 +285,71 @@ def pip_join_shuffle_codegen(
     """
     spark = points.sparkSession
     zrows, max_v, inside = _flat_rings(zones_pdf)
+    # Cover at a FINER resolution than the caller's base `res` when the
+    # cover table stays small: at coarse res the equi-join key has few
+    # distinct hot cells (metro hotspots), so a handful of shuffle
+    # partitions carry the whole candidate stream — measured 5.1s at
+    # res 7 vs 1.0s at res 9 for the SAME ~110M candidates (skew, not
+    # volume). Output is invariant to the cover resolution; the cap
+    # bounds the driver-built table (rows x ring width).
+    eff = res
+    for cand_res in range(min(res + 2, 14), res - 1, -1):
+        rows_at = []
+        total = 0
+        for row in zrows:
+            _, xmin, xmax, ymin, ymax = row[:5]
+            n_cells = len(tiles.bbox_tile_cover(
+                xmin, ymin, xmax, ymax, cand_res))
+            total += n_cells
+            if total * (2 * max_v + 6) > PIP_CODEGEN_MAX_CELLS:
+                break
+        else:
+            eff = cand_res
+            break
     cover_rows = []
     for row in zrows:
         zid, xmin, xmax, ymin, ymax = row[:5]
         coords = row[5:]
-        for x, y in tiles.bbox_tile_cover(xmin, ymin, xmax, ymax, res):
+        for x, y in tiles.bbox_tile_cover(xmin, ymin, xmax, ymax, eff):
             cell_id = (int(tiles.morton(np.array([x]), np.array([y]))[0])
-                       << 5) | res
-            cover_rows.append((cell_id, zid) + coords)
-    cols = ("cell long, zone_id long, "
+                       << 5) | eff
+            cover_rows.append((cell_id, zid, xmin, xmax, ymin, ymax)
+                              + coords)
+    cols = ("cell long, zone_id long, xmin double, xmax double, "
+            "ymin double, ymax double, "
             + ", ".join(f"x{i} double" for i in range(max_v)) + ", "
             + ", ".join(f"y{i} double" for i in range(max_v)))
     cover = spark.createDataFrame(cover_rows, cols)
 
     from .. import cells as _cells
 
-    pts = points.withColumn("cell", F.expr(_cells.cell_sql("lon", "lat", res)))
+    pts = points.withColumn("cell", F.expr(_cells.cell_sql("lon", "lat", eff)))
+    # salt the join key: even at the refined cover resolution a few metro
+    # cells hold a large share of the points, and the post-join ray-cast
+    # filter runs inside the join stage — a deterministic per-row salt on
+    # the point side (cover rows replicate to every salt) spreads each hot
+    # cell's candidates over `salt` reducers (same trick as
+    # pip_join_shuffle's cogroup; results salt-invariant).
+    salt = max(2, min(16, spark.sparkContext.defaultParallelism // 2))
+    # explode (not a broadcast crossJoin): keeps the plan free of ANY
+    # BroadcastExchange, preserving the operator's no-broadcast contract
+    cover = cover.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
+    pts = pts.withColumn(
+        "_salt", F.pmod(F.col("feature_id"), F.lit(salt)).cast("int"))
+    # bbox short-circuit BEFORE the unrolled ray cast: a cover cell is up
+    # to a full cell wider than the zone's bbox, so cheap compares drop
+    # those candidates before the V-term even-odd expression evaluates
+    # (AND short-circuits in codegen) — the same prefilter the cogroup
+    # refine applies NumPy-side.
     # shuffle_hash on the cover side: builds the per-partition hash map on
     # the small side instead of sorting the full point side (SortMergeJoin)
     # — measured ~8% faster at 4M points / 200 zones — and pins the
     # operator to its no-broadcast contract at ANY threshold setting.
+    bbox = ("lon >= xmin AND lon <= xmax AND lat >= ymin AND lat <= ymax")
     return (
-        pts.join(cover.hint("shuffle_hash"), "cell")
-        .where(F.expr(inside))
+        pts.join(cover.hint("shuffle_hash"), ["cell", "_salt"])
+        .where(F.expr(f"({bbox}) AND ({inside})"))
         .select("feature_id", "lon", "lat", "zone_id")
     )
 
