@@ -789,8 +789,15 @@ def pip_join_shuffle(
     """
     from .. import cells as _cells
 
-    cover = zone_cell_cover(zones, res)
-    pts = points.withColumn("cell", F.expr(_cells.cell_sql("lon", "lat", res)))
+    # Cover one level FINER than the caller's base `res`: halved cell
+    # width spreads the hotspot cells over ~4x more cogroup keys (less
+    # refine skew, tighter bbox candidates) — interleaved A/B at 2M
+    # points x 400 zones: res 7 -> 7.98s, res 8 -> 6.32s, res 9 -> 8.95s
+    # (finer still loses to per-group Python batch overhead). Output is
+    # invariant to the cover resolution (tests assert res 5/7 equality).
+    eff = min(res + 1, 12)
+    cover = zone_cell_cover(zones, eff)
+    pts = points.withColumn("cell", F.expr(_cells.cell_sql("lon", "lat", eff)))
     # semi-join prefilter (pure JVM): only points in cells some zone covers
     # reach the Python cogroup. Without this, every empty point-cell group
     # still pays an Arrow+Python round trip — measured as a ~25s flat cost
