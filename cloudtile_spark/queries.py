@@ -39,6 +39,24 @@ TABLES = [
 ]
 
 
+def _hint_documents(sql: str, spark: SparkSession, count: int = 1) -> str:
+    """Spark-side-only rewrite: hash-repartition the FIRST ``count``
+    `documents` scans in ``sql`` to session parallelism before the
+    expensive projection above them runs. The driver's documents file is
+    one parquet row group (single-task scan — guide §2.5 input skew), so
+    heavy tokenizer/regexp CTEs otherwise run single-threaded. Applied
+    ONLY where an interleaved A/B showed a win (tfidf 0.88->0.58s,
+    gopher 1.21->0.53s, chunks 0.92->0.73s; the cheap scans measured
+    SLOWER hinted — the exchange costs more than it buys). A /*+ */ hint
+    changes no results; oracle texts stay unhinted."""
+    par = spark.sparkContext.defaultParallelism
+    return sql.replace(
+        "FROM documents",
+        f"FROM (SELECT /*+ REPARTITION({par}, doc_id) */ * "
+        f"FROM documents) _d",
+        count)
+
+
 def load_views(spark: SparkSession, sf_dir: str) -> None:
     """Register the driver's parquet tables as temp views (same names DuckDB
     pre-registers).
@@ -4254,7 +4272,7 @@ def _init_corpus_analytics() -> None:
 
     def tfidf_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_views(spark, sf_dir)
-        return spark.sql(spark_tfidf)
+        return spark.sql(_hint_documents(spark_tfidf, spark))
 
     REGISTRY["text_tfidf_topk"] = Query(
         "text_tfidf_topk", tfidf_fn, duck_tfidf,
@@ -5143,7 +5161,7 @@ def _init_wave3_llm() -> None:
 
     def chunks_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_views(spark, sf_dir)
-        return spark.sql(spark_chunks)
+        return spark.sql(_hint_documents(spark_chunks, spark))
 
     REGISTRY["dedup_chunks_global"] = Query(
         "dedup_chunks_global", chunks_fn, duck_chunks,
@@ -5203,7 +5221,7 @@ def _init_wave3_llm() -> None:
 
     def gopher_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_views(spark, sf_dir)
-        return spark.sql(spark_gopher)
+        return spark.sql(_hint_documents(spark_gopher, spark))
 
     REGISTRY["text_repetition_gopher"] = Query(
         "text_repetition_gopher", gopher_fn, duck_gopher,
