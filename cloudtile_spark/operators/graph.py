@@ -226,7 +226,11 @@ def label_propagation_sync(edges: DataFrame, nodes: DataFrame,
     by node — never a global sort), lineage truncated per round.
 
     `edges` must hold both directions, deduplicated, no self-loops:
-    (u, v). `nodes` needs (node). Returns (node, lbl).
+    (u, v). `nodes` needs (node). Returns (node, lbl) for nodes WITH at
+    least one incident edge: an isolated node has no neighbor mode to
+    adopt and drops out after round 1 (r5 ADVICE note — callers that
+    need every input node back should left-join `nodes` and
+    coalesce(lbl, node)).
     """
     labels = nodes.select("node", F.col("node").alias("lbl"))
     w = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("lbl"))

@@ -5138,10 +5138,16 @@ def _init_wave3_llm() -> None:
     # --- dedup_chunks_global: C4-style corpus-global exact chunk dedup.
     # Keeper = globally FIRST occurrence in (doc_id, position) order,
     # packed into one bigint so the keeper choice is a plain min() hash
-    # agg (no window, no sort). Per-doc survival stats come from one
-    # equi-join back on the chunk text. At 100 TB: grams shuffle once on
-    # the chunk key (hash agg), then once more for the join — both
-    # key-partitioned; nothing is all-pairs and no driver state exists.
+    # agg (no window, no sort). DOCUMENTED BOUND (r5 ADVICE): the
+    # doc_id*100000+pos packing requires pos < 100000, i.e. documents
+    # under 500k words (100k five-word chunks); a longer doc would spill
+    # pos into the next doc's key space. The driver corpus tops out at
+    # ~60 words/doc; a production deployment with unbounded docs should
+    # switch the keeper to min(struct(doc_id, pos)). Per-doc survival
+    # stats come from one equi-join back on the chunk text. At 100 TB:
+    # grams shuffle once on the chunk key (hash agg), then once more for
+    # the join — both key-partitioned; nothing is all-pairs and no
+    # driver state exists.
     _CHUNK_TAIL = """
     f AS (SELECT chunk, min(doc_id * 100000 + pos) AS first_key
           FROM h GROUP BY chunk)
@@ -5424,7 +5430,7 @@ def _init_wave4_training() -> None:
     # NEVER all-pairs. At 100 TB the block key shuffles once and block
     # sizes are bounded by prefix cardinality (salt or widen the prefix
     # if a block grows hot).
-    def edit_sql(istr: str) -> str:
+    def edit_sql() -> str:
         return f"""
         WITH v AS (
           SELECT doc_id AS id, substr(text, 1, 120) AS body FROM documents
@@ -5443,10 +5449,10 @@ def _init_wave4_training() -> None:
 
     def edit_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_views(spark, sf_dir)
-        return spark.sql(edit_sql("string"))
+        return spark.sql(edit_sql())
 
     REGISTRY["dedup_edit_distance"] = Query(
-        "dedup_edit_distance", edit_fn, edit_sql("varchar"),
+        "dedup_edit_distance", edit_fn, edit_sql(),
         "blocked edit-distance near-dup: 16-char-prefix equi-join blocks "
         "+ Levenshtein <= 6 on 120-char-capped bodies over planted "
         "variants; block-key shuffle, bounded DP cost, no all-pairs",
@@ -5570,7 +5576,7 @@ def _init_kcore() -> None:
     previous residual twice (degree agg + induce join), and DuckDB's
     default CTE inlining would re-expand the chain exponentially."""
 
-    def edge_legs(tick: str = "") -> str:
+    def edge_legs() -> str:
         return " UNION ALL ".join(
             f"SELECT doc_id AS u, (doc_id*{17 + j * 2}+{3 + j * j})"
             f" % (SELECT cnt FROM n) AS v FROM docs"
@@ -5947,6 +5953,51 @@ def _attach_golden_oracles() -> None:
 
 
 _attach_golden_oracles()
+
+
+# Driver-gate exposure rotation (r5 VERDICT Next #3): the driver's
+# correctness gate samples the FIRST 50 registry entries, and that window
+# had been the same queries since round 2 — 111 of 161 queries (all of
+# TPC-H, graph, ANN, events/temporal, sketches, multimodal) had never
+# touched the hard signal. Keep 25 of the original anchors and promote 25
+# round-3..5 queries into the window; the displaced 25 stay fully
+# mirror-checked (tools/check_correctness.py runs all 161). Pure
+# reordering: every query keeps its name, spark fn, and byte-identical
+# oracle SQL. See COVERAGE.md "Driver-gate rotation (r6)".
+_GATE_FRONT = [
+    # anchors (kept from the round-1/2 window)
+    "geo_tile_z8", "geo_pyramid_z0_8", "incremental_pyramid_merge",
+    "geo_tile_topk_z6", "geo_quadkey_z10", "geo_morton_order",
+    "geo_density_cells", "accumulate_attribute", "feature_filter",
+    "tile_cover_counts", "drop_rate_sample", "one_tile_select",
+    "clip_bounding_box", "coalesce_densest_cap", "hilbert_order",
+    "pip_bbox_join", "zone_overlap_area", "zone_overlap_area_poly",
+    "pip_poly_join", "pip_codegen_join", "knn_k5", "dedup_exact",
+    "dedup_keep_best", "dedup_minhash_lsh", "url_dedup_canonical",
+    # promoted (first driver-gate exposure for round-3..5 work)
+    "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q9", "tpch_q16",
+    "graph_pagerank", "graph_triangles", "graph_kcore",
+    "graph_label_prop", "graph_bfs_hops", "dedup_cc_clusters",
+    "dedup_keep_best_cc", "ann_cosine_topk", "ann_lsh_topk",
+    "ann_pq_topk", "events_sessionize", "events_cube_rollup",
+    "ts_asof_join", "ts_range_join", "sketch_hll_registers",
+    "sketch_countmin", "text_tfidf_topk", "text_repetition_gopher",
+    "media_wav_stats", "media_png_stats",
+]
+
+
+def _rotate_registry() -> None:
+    assert len(_GATE_FRONT) == 50, len(_GATE_FRONT)
+    missing = [n for n in _GATE_FRONT if n not in REGISTRY]
+    assert not missing, missing
+    front = {n: REGISTRY[n] for n in _GATE_FRONT}
+    rest = {n: q for n, q in REGISTRY.items() if n not in front}
+    REGISTRY.clear()
+    REGISTRY.update(front)
+    REGISTRY.update(rest)
+
+
+_rotate_registry()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
