@@ -180,7 +180,9 @@ def _emb_rel(dialect: str, par: int | None) -> str:
     never sets ``par``."""
     if par and dialect == "spark":
         return (f"(SELECT /*+ REPARTITION({par}, vec_id) */ * "
-                f"FROM embeddings)")
+                f"FROM embeddings) _emb")
+    # IMPORTANT: bare name, no alias — the oracle statements embed this
+    # text and their round-start fingerprints must stay byte-identical
     return "embeddings"
 
 
@@ -199,7 +201,7 @@ def ann_lsh_bucket_table_sql(dialect: str, par: int | None = None) -> str:
     ]
     bucket_cols = ", ".join(f"{b} AS b{t}" for t, b in enumerate(buckets))
     return (f"SELECT vec_id, embedding, {bucket_cols} "
-            f"FROM {_emb_rel(dialect, par)} _emb")
+            f"FROM {_emb_rel(dialect, par)}")
 
 
 def ann_lsh_rerank_body_sql(dialect: str, t_tbl: str,
@@ -457,7 +459,7 @@ def _pq_m_values() -> str:
 def _pq_qv(d: str, par: int | None = None) -> str:
     """Derived table: quantized integer vectors (see _emb_rel for par)."""
     return (f"(SELECT vec_id, {_pq_quant('embedding', d)} AS e "
-            f"FROM {_emb_rel(d, par)} _emb)")
+            f"FROM {_emb_rel(d, par)})")
 
 
 def _pq_cb(d: str) -> str:
