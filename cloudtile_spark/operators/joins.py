@@ -817,57 +817,69 @@ def pip_join_shuffle(
     else:
         keys = ["cell"]
 
-    out_schema = T.StructType([
-        T.StructField("feature_id", T.LongType()),
-        T.StructField("lon", T.DoubleType()),
-        T.StructField("lat", T.DoubleType()),
-        T.StructField("zone_id", T.LongType()),
-    ])
+    # Arrow-NATIVE cogroup refine (applyInArrow, not applyInPandas): the
+    # refine only needs NumPy views of the point columns and emits plain
+    # arrays, so the pandas DataFrame layer on both sides of the boundary
+    # was pure conversion overhead on the (large) match output —
+    # interleaved A/B at 2M points x 400 zones / 93M matches: pandas
+    # 3.77s -> arrow 2.46s, identical rows (guide §4.2: hand whole
+    # batches to vectorized native code, skip row/frame wrappers).
+    import pyarrow as pa
 
-    _EMPTY = pd.DataFrame(
-        {"feature_id": pd.Series(dtype="int64"),
-         "lon": pd.Series(dtype="float64"),
-         "lat": pd.Series(dtype="float64"),
-         "zone_id": pd.Series(dtype="int64")})
+    _EMPTY = pa.table({
+        "feature_id": pa.array([], pa.int64()),
+        "lon": pa.array([], pa.float64()),
+        "lat": pa.array([], pa.float64()),
+        "zone_id": pa.array([], pa.int64()),
+    })
 
-    def refine(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        if len(left) == 0 or len(right) == 0:
+    def refine(left: "pa.Table", right: "pa.Table") -> "pa.Table":
+        if left.num_rows == 0 or right.num_rows == 0:
             return _EMPTY
-        lons = left.lon.values
-        lats = left.lat.values
-        fids = left.feature_id.values
+        lons = left.column("lon").to_numpy(zero_copy_only=False)
+        lats = left.column("lat").to_numpy(zero_copy_only=False)
+        fids = left.column("feature_id").to_numpy(zero_copy_only=False)
+        zids = right.column("zone_id").to_numpy(zero_copy_only=False)
+        rings = right.column("ring").to_pylist()
+        xmins = right.column("xmin").to_numpy(zero_copy_only=False)
+        ymins = right.column("ymin").to_numpy(zero_copy_only=False)
+        xmaxs = right.column("xmax").to_numpy(zero_copy_only=False)
+        ymaxs = right.column("ymax").to_numpy(zero_copy_only=False)
         idx_parts: list[np.ndarray] = []
         zid_parts: list[np.ndarray] = []
-        for zid, flat, xmin, ymin, xmax, ymax in zip(
-                right.zone_id, right.ring, right.xmin, right.ymin,
-                right.xmax, right.ymax):
+        for i in range(len(zids)):
             # bbox prefilter: a cell can be far wider than the zone, so
             # cheap compares cut the expensive ray-cast to bbox candidates
-            pre = ((lons >= xmin) & (lons <= xmax)
-                   & (lats >= ymin) & (lats <= ymax))
+            pre = ((lons >= xmins[i]) & (lons <= xmaxs[i])
+                   & (lats >= ymins[i]) & (lats <= ymaxs[i]))
             if not pre.any():
                 continue
-            arr = np.asarray(flat, dtype=np.float64).reshape(-1, 2)
+            arr = np.asarray(rings[i], dtype=np.float64).reshape(-1, 2)
             idx = np.nonzero(pre)[0]
             mask = geom.points_in_polygon(lons[idx], lats[idx], arr)
             if mask.any():
                 hit = idx[mask]
                 idx_parts.append(hit)
                 zid_parts.append(
-                    np.full(len(hit), int(zid), dtype=np.int64))
+                    np.full(len(hit), int(zids[i]), dtype=np.int64))
         if not idx_parts:
             return _EMPTY
-        # single NumPy gather — per-zone pandas copies + concat were the
-        # hot path at multi-million-row match volumes
+        # single NumPy gather — per-zone copies + concat were the hot
+        # path at multi-million-row match volumes
         ii = np.concatenate(idx_parts)
-        return pd.DataFrame(
-            {"feature_id": fids[ii], "lon": lons[ii], "lat": lats[ii],
-             "zone_id": np.concatenate(zid_parts)})
+        return pa.table({
+            "feature_id": pa.array(fids[ii], pa.int64()),
+            "lon": pa.array(lons[ii], pa.float64()),
+            "lat": pa.array(lats[ii], pa.float64()),
+            "zone_id": pa.array(np.concatenate(zid_parts), pa.int64()),
+        })
 
     return (
         pts.select(*keys, "feature_id", "lon", "lat").groupBy(*keys)
         .cogroup(cover.groupBy(*keys))
-        .applyInPandas(refine, schema=out_schema)
+        .applyInArrow(
+            refine,
+            schema="feature_id long, lon double, lat double, zone_id long")
     )
 
 
