@@ -292,34 +292,56 @@ def pip_join_shuffle_codegen(
     # res 7 vs 1.0s at res 9 for the SAME ~110M candidates (skew, not
     # volume). Output is invariant to the cover resolution; the cap
     # bounds the driver-built table (rows x ring width).
-    eff = res
-    for cand_res in range(min(res + 2, 14), res - 1, -1):
-        rows_at = []
-        total = 0
-        for row in zrows:
-            _, xmin, xmax, ymin, ymax = row[:5]
-            n_cells = len(tiles.bbox_tile_cover(
-                xmin, ymin, xmax, ymax, cand_res))
-            total += n_cells
-            if total * (2 * max_v + 6) > PIP_CODEGEN_MAX_CELLS:
-                break
-        else:
-            eff = cand_res
-            break
-    cover_rows = []
-    for row in zrows:
-        zid, xmin, xmax, ymin, ymax = row[:5]
-        coords = row[5:]
-        for x, y in tiles.bbox_tile_cover(xmin, ymin, xmax, ymax, eff):
-            cell_id = (int(tiles.morton(np.array([x]), np.array([y]))[0])
-                       << 5) | eff
-            cover_rows.append((cell_id, zid, xmin, xmax, ymin, ymax)
-                              + coords)
+    #
+    # The cover is built VECTORIZED and shipped via the Arrow pandas
+    # path: the first cut looped bbox_tile_cover + a 1-element morton()
+    # per cell and pickled 55k 22-wide tuples through createDataFrame —
+    # ~4 s of driver-side Python inside the timed leg at 400 zones /
+    # res 9 (guide §5: the driver should do almost no data work). Same
+    # rows, same schema (int64 -> long, float64 -> double).
     cols = ("cell long, zone_id long, xmin double, xmax double, "
             "ymin double, ymax double, "
             + ", ".join(f"x{i} double" for i in range(max_v)) + ", "
             + ", ".join(f"y{i} double" for i in range(max_v)))
-    cover = spark.createDataFrame(cover_rows, cols)
+    if not zrows:
+        cover = spark.createDataFrame([], cols)
+    else:
+        zids = np.asarray([r[0] for r in zrows], dtype=np.int64)
+        za = np.asarray([r[1:5] for r in zrows], dtype=np.float64)
+        coords = np.asarray([r[5:] for r in zrows], dtype=np.float64)
+        width = 2 * max_v + 6
+
+        def _ranges(r: int):
+            # same corner calls as tiles.bbox_tile_cover, batched:
+            # (lon_min, lat_min) -> (x0, y1); (lon_max, lat_max) -> (x1, y0)
+            x0, y1 = tiles.lonlat_to_tile(za[:, 0], za[:, 2], r)
+            x1, y0 = tiles.lonlat_to_tile(za[:, 1], za[:, 3], r)
+            return x0, x1, y0, y1
+
+        eff = res
+        for cand_res in range(min(res + 2, 14), res - 1, -1):
+            x0, x1, y0, y1 = _ranges(cand_res)
+            total = int(np.sum((x1 - x0 + 1) * (y1 - y0 + 1)))
+            if total * width <= PIP_CODEGEN_MAX_CELLS:
+                eff = cand_res
+                break
+        x0, x1, y0, y1 = _ranges(eff)
+        per_zone = ((x1 - x0 + 1) * (y1 - y0 + 1)).astype(np.int64)
+        rep = np.repeat(np.arange(len(zids)), per_zone)
+        offs = (np.arange(int(per_zone.sum()), dtype=np.int64)
+                - np.repeat(np.cumsum(per_zone) - per_zone, per_zone))
+        nyr = (y1 - y0 + 1)[rep]
+        xx = x0[rep] + offs // nyr   # bbox_tile_cover order: x outer,
+        yy = y0[rep] + offs % nyr    # y inner
+        data = {"cell": (tiles.morton(xx, yy) << 5) | eff,
+                "zone_id": zids[rep],
+                "xmin": za[rep, 0], "xmax": za[rep, 1],
+                "ymin": za[rep, 2], "ymax": za[rep, 3]}
+        for i in range(max_v):
+            data[f"x{i}"] = coords[rep, i]
+        for i in range(max_v):
+            data[f"y{i}"] = coords[rep, max_v + i]
+        cover = spark.createDataFrame(pd.DataFrame(data))
 
     from .. import cells as _cells
 
