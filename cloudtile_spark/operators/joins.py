@@ -627,32 +627,31 @@ def knn_join_adaptive(
         .withColumn("ny", F.col("cy") + F.col("dy"))
         .filter((F.col("ny") >= 0) & (F.col("ny") < F.expr(n_sql)))
     )
-    rc = (
-        counts.join(
-            F.broadcast(q_ring.select("query_id", "res", "nx", "ny")),
-            on=(F.col("kres") == F.col("res")) & (F.col("kx") == F.col("nx"))
-            & (F.col("ky") == F.col("ny")),
-        )
-        .groupBy("query_id", F.col("res").alias("qres"))
-        .agg(F.sum("count").alias("ring_cnt"))
+    # ONE aggregation keyed on query_id computes every level's ring count
+    # as a conditional sum, and the arg-max ("finest res whose ring holds
+    # >= target candidates, else the coarsest level seen") collapses to a
+    # CASE over those sums — the former groupBy(query_id, res) + window
+    # rank cost a second exchange plus a sort for the same answer
+    # (guide §2.4: two operations keyed the same way share one exchange;
+    # the selection itself needs no ordering, only 5 comparisons).
+    ring_joined = counts.join(
+        F.broadcast(q_ring.select("query_id", "res", "nx", "ny")),
+        on=(F.col("kres") == F.col("res")) & (F.col("kx") == F.col("nx"))
+        & (F.col("ky") == F.col("ny")),
     )
+    per_level = [
+        F.sum(F.when(F.col("res") == r, F.col("count"))).alias(f"s{r}")
+        for r in res_levels
+    ]
+    pick = F.lit(None).cast("int")
+    for r in res_levels:  # coarsest-first fallback: first level with rows
+        pick = F.coalesce(pick,
+                          F.when(F.col(f"s{r}").isNotNull(), F.lit(r)))
+    for r in res_levels:  # finest qualifying level wins
+        pick = F.when(F.col(f"s{r}") >= target, F.lit(r)).otherwise(pick)
     chosen = (
-        rc.withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(
-                    # finest qualifying res first; else the coarsest level
-                    # (+qres ascending: smallest res = biggest cells, so a
-                    # sparse query gets the widest ring — `- qres` here
-                    # silently picked the FINEST, near-empty ring and
-                    # brute-forced more than designed)
-                    F.when(F.col("ring_cnt") >= target, -F.col("qres"))
-                     .otherwise(F.lit(10_000) + F.col("qres"))
-                )
-            ),
-        )
-        .filter(F.col("rn") == 1)
-        .select("query_id", F.col("qres").alias("res"))
+        ring_joined.groupBy("query_id").agg(*per_level)
+        .select("query_id", pick.alias("res"))
     )
 
     # 3. single candidates join at each query's chosen res. The point side
@@ -667,10 +666,20 @@ def knn_join_adaptive(
         q_ring.join(F.broadcast(chosen), ["query_id", "res"])
         .select("query_id", "qlon", "qlat", "res", "cx", "cy", "nx", "ny")
     )
+    # finest-level tile ints once per point, coarser levels by shiftright:
+    # floor(v * 2^f) >> (f - r) == floor(v * 2^r) exactly (and the [0,
+    # 2^z-1] clamp commutes with the shift), so px/py are bit-identical to
+    # re-evaluating the ln/tan tile math per (point x level) — that math
+    # ran on every exploded row, inflating the candidates-join input stage
+    # (same identity the counts rollup above already exploits).
     pts = (
-        points.crossJoin(F.broadcast(used_levels))
-        .withColumn("px", F.expr(tiles.tile_x_sql("lon", "res")))
-        .withColumn("py", F.expr(tiles.tile_y_sql("lat", "res")))
+        points
+        .withColumn("fx", F.expr(tiles.tile_x_sql("lon", str(finest))))
+        .withColumn("fy", F.expr(tiles.tile_y_sql("lat", str(finest))))
+        .crossJoin(F.broadcast(used_levels))
+        .withColumn("px", F.expr(f"shiftright(fx, {finest} - res)"))
+        .withColumn("py", F.expr(f"shiftright(fy, {finest} - res)"))
+        .drop("fx", "fy")
         .withColumnRenamed("res", "pres")
     )
     cand = (
