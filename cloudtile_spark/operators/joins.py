@@ -723,6 +723,18 @@ def knn_join_adaptive(
 
     failed = queries.join(F.broadcast(certified), "query_id", "left_anti") \
                     .select("query_id", "qlon", "qlat")
+    # Scalar probe (same class of driver check as connected_components'
+    # convergence checksum): when EVERY query certifies — the designed
+    # common case — skip the brute-force branch entirely instead of
+    # unioning a provably-empty subtree. Even empty, that branch costs a
+    # broadcast job plus a nested-loop-join stage over the full point
+    # side at plan time (AQE prunes it only after the broadcast runs);
+    # measured 0.25-0.8s of pure scheduling at bench scale. The probe
+    # itself reads the PERSISTED topk (one tiny anti-join job), so no
+    # upstream work runs twice; when any query fails, the union is built
+    # exactly as before. Output identical in both branches.
+    if failed.isEmpty():
+        return exact_part
     brute = (
         points.join(F.broadcast(failed),
                     F.col("feature_id") != F.col("query_id"))
