@@ -839,7 +839,13 @@ def pip_join_shuffle(
     # (finer still loses to per-group Python batch overhead). Output is
     # invariant to the cover resolution (tests assert res 5/7 equality).
     eff = min(res + 1, 12)
-    cover = zone_cell_cover(zones, eff)
+    # stage the cover: it is consumed by TWO subtrees (the distinct-cell
+    # semi-join prefilter and the cogroup side), and without the persist
+    # the zone-side Python mapInPandas stage executes twice per action —
+    # measured 10.5s -> 4.0s on the cold first invocation at 2M x 400
+    # zones (warm delta ~0.15s; guide §5: cache only what is reused and
+    # expensive to recompute — a Python stage is both).
+    cover = caching.stage(zone_cell_cover(zones, eff))
     pts = points.withColumn("cell", F.expr(_cells.cell_sql("lon", "lat", eff)))
     # semi-join prefilter (pure JVM): only points in cells some zone covers
     # reach the Python cogroup. Without this, every empty point-cell group
