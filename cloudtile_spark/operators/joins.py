@@ -613,11 +613,15 @@ def knn_join_adaptive(
         )
         for r in res_levels
     ])
-    counts = (
-        base.select(F.explode(lvl_structs).alias("s"), "count")
-        .groupBy("s.kres", "s.kx", "s.ky")
-        .agg(F.sum("count").alias("count"))
-    )
+    # NO intermediate (level, cell) aggregation: the only consumer is the
+    # ring join + per-query sum below, and summing base-cell counts AFTER
+    # the broadcast probe is algebraically identical (the per-cell rollup
+    # only pre-reduced rows that a cheap broadcast-hash probe filters
+    # anyway) — one full exchange of the exploded row set removed
+    # (guide §2.4: remove shuffles outright).
+    counts = base.select(F.explode(lvl_structs).alias("s"), "count") \
+        .select(F.col("s.kres").alias("kres"), F.col("s.kx").alias("kx"),
+                F.col("s.ky").alias("ky"), "count")
 
     # 2. ring cells per (query, res); pick finest res with enough candidates
     q_ring = (

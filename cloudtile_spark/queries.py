@@ -99,7 +99,10 @@ def load_views(spark: SparkSession, sf_dir: str) -> None:
             (int(_os.path.getmtime(p)), _os.path.getsize(p)) for p in paths)
     except OSError:
         stamp = None  # missing file: fall through, let Spark raise
-    key = (spark.sparkContext.applicationId, base, stamp)
+    # id(spark) guards the (unused today) newSession() case: temp views
+    # are session-scoped, so a memoized DataFrame must only be
+    # re-registered into the session that created it
+    key = (id(spark), spark.sparkContext.applicationId, base, stamp)
     dfs = _TABLE_DFS.get(key) if stamp is not None else None
     if dfs is None:
         dfs = {t: spark.read.parquet(p) for t, p in zip(TABLES, paths)}
